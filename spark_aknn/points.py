@@ -1,0 +1,76 @@
+"""Point derivation — deterministic (id, x, y) tables in [0,1)^2.
+
+The reference engine operates on flat ``{id, x, y}`` rows with uniform
+coordinates in [0,1]^2 drawn by a seeded generator
+(/root/reference/DatasetGenerator/main.cpp:37-42, uniform_real_distribution;
+Point struct /root/reference/PlaneSweepParallel/include/PlaneSweepParallel.h:13-18).
+
+We derive points from existing key columns with a Lehmer/LCG hash using
+only int64 arithmetic and one correctly-rounded double division, so the
+exact same doubles are produced by Spark SQL, DuckDB SQL (the
+correctness oracle) and numpy (the test oracle) — bit-identical, which
+lets the driver's value-hash comparison pass on floating-point columns.
+
+For the graft's image table, points come from the 64-bit perceptual hash
+instead: x = high 32 bits / 2^32, y = low 32 bits / 2^32 (SURVEY.md §7.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# LCG constants (Knuth/ANSI-C style); modulus is the Mersenne prime 2^31-1
+# so (M-1)*A fits comfortably in int64 for keys < ~2^33.
+_M = 2147483647
+_AX, _CX = 1103515245, 12345
+_AY, _CY = 69069, 1
+
+
+def lcg_x(key: Column) -> Column:
+    return ((key * F.lit(_AX) + F.lit(_CX)) % F.lit(_M)).cast("double") / F.lit(float(_M))
+
+
+def lcg_y(key: Column) -> Column:
+    return ((key * F.lit(_AY) + F.lit(_CY)) % F.lit(_M)).cast("double") / F.lit(float(_M))
+
+
+def points_from_keys(df: DataFrame, key_col: str) -> DataFrame:
+    """Project any table with an int64 key into a reference-shaped point table."""
+    key = F.col(key_col).cast("long")
+    return df.select(
+        (key + F.lit(1)).alias("id"),  # reference ids are 1-based, dense
+        lcg_x(key).alias("x"),
+        lcg_y(key).alias("y"),
+    )
+
+
+def lcg_sql(key_expr: str) -> tuple[str, str]:
+    """(x_sql, y_sql) — the identical derivation in ANSI SQL for the DuckDB oracle."""
+    x = f"(({key_expr} * {_AX} + {_CX}) % {_M}) / {_M}.0"
+    y = f"(({key_expr} * {_AY} + {_CY}) % {_M}) / {_M}.0"
+    return x, y
+
+
+def lcg_numpy(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    k = keys.astype(np.int64)
+    x = ((k * _AX + _CX) % _M).astype(np.float64) / float(_M)
+    y = ((k * _AY + _CY) % _M).astype(np.float64) / float(_M)
+    return x, y
+
+
+def points_from_phash(df: DataFrame, id_col: str = "image_id", phash_col: str = "phash") -> DataFrame:
+    """phash -> (x, y) in [0,1)^2: high 32 bits -> x, low 32 bits -> y.
+
+    Pure column expressions (JVM-side); lands in the reference's
+    coordinate domain so the same sweep kernels apply unchanged.
+    """
+    two32 = float(1 << 32)
+    high = F.shiftrightunsigned(F.col(phash_col), 32)
+    low = F.col(phash_col).bitwiseAND(F.lit((1 << 32) - 1))
+    return df.select(
+        F.col(id_col).alias("point_key"),
+        (high.cast("double") / F.lit(two32)).alias("x"),
+        (low.cast("double") / F.lit(two32)).alias("y"),
+    ).withColumn("id", F.xxhash64("point_key"))
