@@ -1,0 +1,149 @@
+"""Per-partition lineage + checkpoint manifests with resume.
+
+Re-expresses the reference's out-of-core bookkeeping on Spark terms:
+the external algorithm packs stripes into memory-budget windows and
+commits finished queries per window
+(/root/reference/PlaneSweepParallel/include/AllKnnResultStripesParallelExternal.h:142-287
+GetWindow, :376-485 CommitWindow); its stripe debug sink records
+per-stripe boundaries/counts (AllKnnResultStripes.h:158-179). Here a
+*batch of stripes* plays the window's role: each batch is one Spark job
+whose stage-1 output lands in its own parquet directory plus an
+atomically-renamed JSON manifest carrying per-stripe lineage (boundaries,
+input/training counts, rows emitted, scanned-candidate stats, wall
+time). A restarted run finds the manifests and skips completed batches —
+no recomputation of committed stripes, the north-rule resume property.
+
+Spark (not the reference's windows) handles memory: each batch job
+spills/shuffles natively; batching exists purely for commit granularity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_aknn.aknn import (
+    build_frontier,
+    merge_topk,
+    stage1_local_topk,
+    stage2_exchange,
+)
+from spark_aknn.grid import Grid, assign_cells, build_grid, cells_df
+from spark_aknn.stripes import auto_num_stripes
+
+
+def _write_json_atomic(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, default=str)
+    os.replace(tmp, path)
+
+
+def _grid_path(workdir: str) -> str:
+    return os.path.join(workdir, "grid.json")
+
+
+def save_grid(workdir: str, grid: Grid) -> None:
+    _write_json_atomic(
+        _grid_path(workdir),
+        {"y_splits": grid.y_splits, "x_splits": {str(k): v for k, v in grid.x_splits.items()}},
+    )
+
+
+def load_grid(workdir: str) -> Grid | None:
+    p = _grid_path(workdir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        raw = json.load(f)
+    return Grid(
+        y_splits=[float(v) for v in raw["y_splits"]],
+        x_splits={int(k): v for k, v in raw["x_splits"].items()},
+    )
+
+
+def checkpointed_aknn(
+    spark: SparkSession,
+    input_points: DataFrame,
+    training_points: DataFrame,
+    workdir: str,
+    k: int = 10,
+    num_stripes: int = 0,
+    num_batches: int = 4,
+    salt_factor: float = 4.0,
+) -> DataFrame:
+    """All-kNN join with per-batch checkpoint/resume under ``workdir``.
+
+    Layout: grid.json, stage1/batch=<b>/ (+ manifest_b.json),
+    result/ (+ manifest_final.json). Re-running with the same workdir
+    skips every batch whose manifest exists.
+    """
+    os.makedirs(workdir, exist_ok=True)
+    grid = load_grid(workdir)
+    if grid is None:
+        if num_stripes <= 0:
+            num_stripes = auto_num_stripes(training_points.count(), k)
+        grid = build_grid(training_points, num_stripes, salt_factor=salt_factor)
+        save_grid(workdir, grid)
+
+    cols = ["stripe_id", "sub_id", "id", "x", "y"]
+    inp = assign_cells(input_points.select("id", "x", "y"), grid).select(*cols)
+    trn = assign_cells(training_points.select("id", "x", "y"), grid).select(*cols)
+
+    for b in range(num_batches):
+        mpath = os.path.join(workdir, f"manifest_stage1_{b}.json")
+        if os.path.exists(mpath):
+            continue  # committed by a previous run — resume skips it
+        t0 = time.time()
+        sel = F.pmod(F.col("stripe_id"), F.lit(num_batches)) == b
+        out = stage1_local_topk(inp.filter(sel), trn.filter(sel), k)
+        path = os.path.join(workdir, f"stage1/batch={b}")
+        out.write.mode("overwrite").parquet(path)
+        stats = (
+            spark.read.parquet(path)
+            .groupBy("stripe_id", "sub_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_queries"),
+                F.sum("scanned").alias("scanned_total"),
+                F.max("scanned").alias("scanned_max"),
+                F.sum(F.size("neighbor_ids")).alias("neighbors_emitted"),
+            )
+            .collect()
+        )
+        _write_json_atomic(
+            mpath,
+            {
+                "batch": b,
+                "path": path,
+                "wall_sec": time.time() - t0,
+                "stripes": [
+                    {
+                        **r.asDict(),
+                        "ylo": grid.y_splits[r["stripe_id"]],
+                        "yhi": grid.y_splits[r["stripe_id"] + 1],
+                    }
+                    for r in stats
+                ],
+            },
+        )
+
+    stage1 = spark.read.parquet(os.path.join(workdir, "stage1"))
+    final_manifest = os.path.join(workdir, "manifest_final.json")
+    result_path = os.path.join(workdir, "result")
+    if not os.path.exists(final_manifest):
+        t0 = time.time()
+        cells = cells_df(spark, grid)
+        frontier = build_frontier(stage1, cells, grid)
+        stage2 = stage2_exchange(frontier, trn, k)
+        result = merge_topk(stage1, stage2, k)
+        result.write.mode("overwrite").parquet(result_path)
+        n = spark.read.parquet(result_path).count()
+        _write_json_atomic(
+            final_manifest,
+            {"path": result_path, "rows": n, "wall_sec": time.time() - t0, "k": k},
+        )
+    return spark.read.parquet(result_path)

@@ -21,11 +21,12 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# LCG constants (Knuth/ANSI-C style); modulus is the Mersenne prime 2^31-1
-# so (M-1)*A fits comfortably in int64 for keys < ~2^33.
+# LCG constants (Knuth/ANSI-C style); modulus is the Mersenne prime 2^31-1.
+# Multipliers are large so even small dense key ranges spread over the full
+# [0,1) domain; key*A stays well inside int64 for keys < 2^32.
 _M = 2147483647
 _AX, _CX = 1103515245, 12345
-_AY, _CY = 69069, 1
+_AY, _CY = 1583458089, 54321
 
 
 def lcg_x(key: Column) -> Column:
