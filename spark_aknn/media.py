@@ -53,10 +53,11 @@ def synth_pixels(seed: int, w: int, h: int) -> np.ndarray:
     /root/reference/DatasetGenerator/main.cpp:37-42)."""
     n = w * h * 3
     idx = np.arange(n, dtype=np.uint64)
-    vals = (
-        np.uint64(seed & 0xFFFFFFFFFFFFFFFF) * np.uint64(6364136223846793005)
-        + idx * np.uint64(1442695040888963407)
-    ) >> np.uint64(16)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the point
+        vals = (
+            np.uint64(seed & 0xFFFFFFFFFFFFFFFF) * np.uint64(6364136223846793005)
+            + idx * np.uint64(1442695040888963407)
+        ) >> np.uint64(16)
     return (vals & np.uint64(0xFF)).astype(np.uint8).reshape(h, w, 3)
 
 

@@ -76,13 +76,15 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Order-sensitive rolling fingerprint: fold words through
-    acc = acc * 31 + xxhash64(word) (int64 wraparound). Distinguishes
-    permuted documents that a bag-of-words hash would conflate."""
+    """Order-sensitive rolling polynomial fingerprint:
+    acc = (acc * 31 + xxhash64(word) mod P) mod P with P a prime near
+    2^40 — modular so ANSI int64 arithmetic never overflows.
+    Distinguishes permuted documents a bag-of-words hash conflates."""
+    P = 1099511627689  # prime < 2^40; acc*31 + h stays < 2^46
     words = _words(text_col)
     fp = F.aggregate(
         words,
         F.lit(0).cast("long"),
-        lambda acc, w: acc * F.lit(31).cast("long") + F.xxhash64(w),
+        lambda acc, w: F.pmod(acc * F.lit(31) + F.pmod(F.xxhash64(w), F.lit(P)), F.lit(P)),
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))

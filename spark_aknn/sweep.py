@@ -115,6 +115,10 @@ def _topk_window_round(
     final = np.take_along_axis(ord1, ord2, axis=1)[:, :k]
     dk = np.take_along_axis(d, final, axis=1)
     idk = np.take_along_axis(ids_win, final, axis=1)
+    if dk.shape[1] < k:  # window narrower than k (tiny training set)
+        pad = k - dk.shape[1]
+        dk = np.pad(dk, ((0, 0), (0, pad)), constant_values=np.inf)
+        idk = np.pad(idk, ((0, 0), (0, pad)), constant_values=-1)
     found = (dk < np.inf).sum(axis=1).astype(np.int32)
 
     # window-sufficiency check: nearest excluded |dx| on each side

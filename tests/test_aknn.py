@@ -1,0 +1,172 @@
+"""All-kNN join correctness vs the numpy brute-force oracle.
+
+Mirrors the reference's differential-testing methodology
+(/root/reference/PlaneSweepParallel/src/PlaneSweepParallel.cpp:353-398:
+every algorithm variant compared distance-by-distance against the brute
+force result), plus the edge-case fixtures from FIXTURES.md: duplicate
+coordinates, exact distance ties, |T| < k, empty stripes, k=1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spark_aknn.aknn import all_knn_join
+from spark_aknn.grid import Grid, build_grid
+from spark_aknn.sweep import brute_force_topk, window_topk
+from tests.conftest import make_points_df
+
+
+def _check(spark, qids, qx, qy, tids, tx, ty, k, **kw):
+    inp = make_points_df(spark, qids, qx, qy)
+    trn = make_points_df(spark, tids, tx, ty)
+    got = (
+        all_knn_join(inp, trn, k=k, **kw)
+        .toPandas()
+        .sort_values(["input_id", "rank"])
+        .reset_index(drop=True)
+    )
+    order = np.argsort(qids)
+    exp_ids, exp_d = brute_force_topk(
+        np.asarray(qx)[order], np.asarray(qy)[order],
+        np.asarray(tx, dtype=float), np.asarray(ty, dtype=float),
+        np.asarray(tids), k,
+    )
+    exp_rows = int((exp_ids >= 0).sum())
+    assert len(got) == exp_rows
+    # reshape per query, tolerating underfull results
+    gi = iter(range(len(got)))
+    for qi, qid in enumerate(np.asarray(qids)[order]):
+        n_exp = int((exp_ids[qi] >= 0).sum())
+        for r in range(n_exp):
+            row = got.iloc[next(gi)]
+            assert row.input_id == qid
+            assert row["rank"] == r + 1
+            assert row.neighbor_id == exp_ids[qi, r], (qid, r)
+            assert row.dist_sq == exp_d[qi, r], (qid, r)
+
+
+def _uniform(rng, n, lo=0.0, hi=1.0):
+    return lo + (hi - lo) * rng.random(n)
+
+
+def test_self_join_matches_oracle(spark, rng):
+    n = 500
+    x, y = _uniform(rng, n), _uniform(rng, n)
+    ids = np.arange(1, n + 1)
+    _check(spark, ids, x, y, ids, x, y, k=10)
+
+
+def test_two_table_join(spark, rng):
+    nq, nt = 200, 800
+    _check(
+        spark,
+        np.arange(1, nq + 1), _uniform(rng, nq), _uniform(rng, nq),
+        np.arange(1, nt + 1), _uniform(rng, nt), _uniform(rng, nt),
+        k=7,
+    )
+
+
+def test_invariant_under_stripe_count(spark, rng):
+    """Result must not depend on physical partitioning — the analogue of
+    the reference's cross-variant comparison."""
+    n = 300
+    x, y = _uniform(rng, n), _uniform(rng, n)
+    ids = np.arange(1, n + 1)
+    for stripes in (1, 3, 17):
+        _check(spark, ids, x, y, ids, x, y, k=5, num_stripes=stripes)
+
+
+def test_salted_grid_matches(spark, rng):
+    """Skewed y (80% of mass at exactly y=0.5, the duplicate-y edge case:
+    quantile boundaries fuse, leaving one hot stripe) -> salting path."""
+    n = 600
+    y = np.where(rng.random(n) < 0.8, 0.5, rng.random(n))
+    x = _uniform(rng, n)
+    ids = np.arange(1, n + 1)
+    inp = make_points_df(spark, ids, x, y)
+    grid = build_grid(inp, 8, salt_factor=1.5)
+    assert grid.x_splits, "expected substripes for the hot stripe"
+    _check(spark, ids, x, y, ids, x, y, k=5, grid=grid)
+
+
+def test_training_smaller_than_k(spark, rng):
+    """|T| < k: underfull results, no sentinel rows in canonical output
+    (the reference pads with NULL sentinels in its text sink,
+    AllKnnResult.h:147-154; our parquet-canonical form omits them)."""
+    _check(
+        spark,
+        np.arange(1, 21), _uniform(rng, 20), _uniform(rng, 20),
+        np.arange(1, 4), _uniform(rng, 3), _uniform(rng, 3),
+        k=10,
+    )
+
+
+def test_exact_ties_break_by_id(spark):
+    """Four equidistant neighbors, k=2 -> lowest ids win."""
+    qx, qy = [0.5], [0.5]
+    tx = [0.4, 0.6, 0.5, 0.5]
+    ty = [0.5, 0.5, 0.4, 0.6]
+    _check(spark, [1], qx, qy, [10, 20, 30, 40], tx, ty, k=2)
+
+
+def test_duplicate_coordinates(spark, rng):
+    """Many points at identical coordinates spanning stripe boundaries."""
+    n = 120
+    x = np.repeat(_uniform(rng, 12), 10)
+    y = np.repeat(_uniform(rng, 12), 10)
+    ids = np.arange(1, n + 1)
+    _check(spark, ids, x, y, ids, x, y, k=15, num_stripes=5)
+
+
+def test_k1_and_single_point(spark):
+    _check(spark, [1, 2], [0.1, 0.9], [0.1, 0.9], [7], [0.5], [0.5], k=1)
+
+
+def test_empty_stripes(spark, rng):
+    """Training confined to a narrow band -> most stripes have no
+    training points; queries everywhere must still find true neighbors."""
+    nq, nt = 100, 50
+    qx, qy = _uniform(rng, nq), _uniform(rng, nq)
+    tx = _uniform(rng, nt)
+    ty = 0.45 + 0.1 * rng.random(nt)
+    grid = Grid(y_splits=[-np.inf, 0.2, 0.4, 0.6, 0.8, np.inf])
+    _check(
+        spark,
+        np.arange(1, nq + 1), qx, qy,
+        np.arange(1, nt + 1), tx, ty,
+        k=5, grid=grid,
+    )
+
+
+def test_window_topk_kernel_matches_brute(rng):
+    """Kernel-level property test, no Spark: random sizes/duplicates."""
+    for trial in range(20):
+        n = int(rng.integers(1, 200))
+        m = int(rng.integers(1, 50))
+        k = int(rng.integers(1, 12))
+        tx = np.sort(np.round(rng.random(n), 2))  # rounding forces duplicates
+        ty = np.round(rng.random(n), 2)
+        tid = rng.permutation(n).astype(np.int64) + 1
+        qx, qy = rng.random(m), rng.random(m)
+        ids, d, counts, _ = window_topk(qx, qy, tx, ty, tid, k)
+        eids, ed = brute_force_topk(qx, qy, tx, ty, tid, k)
+        assert (ids == eids).all(), trial
+        assert (d[ids >= 0] == ed[eids >= 0]).all(), trial
+
+
+def test_window_topk_cap(rng):
+    """cap keeps candidates with dist <= cap (inclusive) and nothing above."""
+    n = 300
+    tx = np.sort(rng.random(n))
+    ty = rng.random(n)
+    tid = np.arange(1, n + 1)
+    qx, qy = rng.random(10), rng.random(10)
+    _, d_all, _, _ = window_topk(qx, qy, tx, ty, tid, 20)
+    cap = d_all[:, 5].copy()  # exactly the 6th distance -> inclusive bound
+    ids, d, counts, _ = window_topk(qx, qy, tx, ty, tid, 20, cap=cap)
+    for i in range(10):
+        kept = d[i][ids[i] >= 0]
+        assert (kept <= cap[i]).all()
+        assert counts[i] == (d_all[i] <= cap[i]).sum()

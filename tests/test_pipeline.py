@@ -1,0 +1,169 @@
+"""Pipeline operators: dedup, text analysis, ANN, media plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_exact_dedup(spark):
+    from spark_aknn.pipeline.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "aa"), (5, "cc")], "doc_id long, text string"
+    )
+    got = exact_dedup(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got.doc_id) == [1, 2, 5]
+    assert list(got.n_dups) == [3, 1, 1]
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    from spark_aknn.pipeline.dedup import minhash_dedup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [(i, base) for i in range(3)]
+    rows.append((10, base.replace("dog", "cat", 1)))
+    rows += [(100 + i, f"totally different document number {i} " + "x y z " * 20) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_dedup_pairs(df, threshold=0.7).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs.a, pairs.b)}
+    assert {(0, 1), (0, 2), (1, 2)} <= found
+    assert all(a < 100 and b < 100 for a, b in found)  # no false positives across groups
+    # exact jaccard for identical docs is 1.0
+    assert (pairs[pairs.b < 3].jaccard == 1.0).all()
+
+
+def test_simhash_hamming(spark):
+    from spark_aknn.pipeline.dedup import simhash, simhash_near_dup_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),  # 1 word differs
+        (3, "completely unrelated text about spark and parquet files"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = simhash(df)
+    pairs = simhash_near_dup_pairs(sh, max_hamming=16).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs.a, pairs.b)}
+    assert (1, 2) in found
+    # determinism across invocations
+    a = sh.orderBy("doc_id").toPandas()
+    b = simhash(df).orderBy("doc_id").toPandas()
+    assert (a.simhash.values == b.simhash.values).all()
+
+
+def test_text_stats_and_tokens(spark):
+    from spark_aknn.pipeline.text import text_stats
+
+    df = spark.createDataFrame(
+        [(1, "the cat, the hat!"), (2, ""), (3, "   "), (4, "one")],
+        "doc_id long, text string",
+    )
+    got = text_stats(df).toPandas().set_index("doc_id")
+    assert got.loc[1, "n_tokens"] == 4
+    assert got.loc[1, "punct_ratio"] == 2 / 17
+    assert got.loc[1, "stopword_ratio"] == 0.5  # 'the' twice of 4
+    assert got.loc[2, "n_tokens"] == 0 and got.loc[3, "n_tokens"] == 0
+    assert got.loc[4, "n_tokens"] == 1
+
+
+def test_language_id(spark):
+    from spark_aknn.pipeline.text import language_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and it is happy"),
+            (2, "el gato es de la casa y es feliz"),
+            (3, "der Hund ist in den Garten und die Katze"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = language_id(df).toPandas().set_index("doc_id").pred_lang
+    assert got[1] == "en" and got[2] == "es" and got[3] == "de" and got[4] == "und"
+
+
+def test_fingerprint_order_sensitive(spark):
+    from spark_aknn.pipeline.text import doc_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "a b c")], "doc_id long, text string"
+    )
+    got = doc_fingerprint(df).toPandas().set_index("doc_id").fingerprint
+    assert got[1] == got[3] and got[1] != got[2]
+
+
+def test_ann_exact_matches_numpy(emb):
+    from spark_aknn.pipeline.ann import all_pairs_l2_topk
+
+    got = (
+        all_pairs_l2_topk(emb, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pdf = emb.toPandas().sort_values("vec_id")
+    mat = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    ids = pdf.vec_id.to_numpy()
+    d2 = ((mat[:, None, :] - mat[None, :, :]) ** 2).sum(axis=2)
+    for qi in range(0, len(ids), 97):
+        order = np.lexsort((ids, d2[qi]))[:5]
+        sub = got[got.query_id == ids[qi]]
+        assert (sub.neighbor_id.values == ids[order]).all()
+
+
+def test_ivf_recall(emb):
+    from spark_aknn.pipeline.ann import all_pairs_l2_topk, ivf_topk
+
+    ex = all_pairs_l2_topk(emb, k=5).toPandas()
+    iv = ivf_topk(emb, k=5, num_centroids=8, nprobe=4).toPandas()
+    exact_sets = ex.groupby("query_id").neighbor_id.apply(set)
+    approx_sets = iv.groupby("query_id").neighbor_id.apply(set)
+    recall = np.mean(
+        [len(exact_sets[q] & approx_sets.get(q, set())) / 5 for q in exact_sets.index]
+    )
+    assert recall > 0.3  # approximate by design; exact variant is the baseline
+
+
+def test_images_and_media(spark):
+    from spark_aknn.media import average_phash, decode_image, decode_invariants, psnr, synth_pixels
+    from spark_aknn.tables import images_table
+
+    imgs = images_table(spark, 64)
+    pdf = imgs.toPandas()
+    assert len(pdf) == 64
+    # deterministic regeneration
+    row = pdf.iloc[5]
+    arr = synth_pixels(5, int(row.w), int(row.h))
+    assert decode_image(row.bytes, int(row.w), int(row.h), "raw").tobytes() == arr.tobytes()
+    assert average_phash(arr) == row.phash
+    assert row.caption.startswith("caption for img_")
+    inv = decode_invariants(imgs).toPandas()
+    assert inv.decode_ok.all()
+    assert np.isinf(inv.psnr_db).all()  # raw is lossless
+    # PSNR sanity: small perturbation stays above the 40 dB gate
+    noisy = arr.copy()
+    noisy[0, 0, 0] = (int(noisy[0, 0, 0]) + 3) % 256
+    assert psnr(arr, noisy) > 40
+
+
+def test_lossy_decode_is_stubbed(spark):
+    from spark_aknn.media import _HAS_PIL, decode_image
+
+    if not _HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8", 4, 4, "jpeg")

@@ -1,0 +1,70 @@
+"""Checkpoint/resume semantics (north-rule requirement)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+
+from spark_aknn.aknn import all_knn_join
+from spark_aknn.manifest import checkpointed_aknn, load_grid
+from tests.conftest import make_points_df
+
+
+def _mk(spark, rng, n):
+    x, y = rng.random(n), rng.random(n)
+    return make_points_df(spark, np.arange(1, n + 1), x, y)
+
+
+def test_resume_skips_committed_batches(spark, rng, tmp_path):
+    wd = str(tmp_path / "ckpt")
+    pts = _mk(spark, rng, 400)
+    r1 = (
+        checkpointed_aknn(spark, pts, pts, wd, k=5, num_batches=3)
+        .toPandas()
+        .sort_values(["input_id", "rank"])
+        .reset_index(drop=True)
+    )
+    manifests = sorted(f for f in os.listdir(wd) if f.startswith("manifest_stage1"))
+    assert len(manifests) == 3
+    with open(os.path.join(wd, manifests[0])) as f:
+        m = json.load(f)
+    assert m["stripes"] and all("scanned_total" in s for s in m["stripes"])
+
+    # kill mid-run: final + one batch lost
+    os.remove(os.path.join(wd, "manifest_final.json"))
+    os.remove(os.path.join(wd, "manifest_stage1_1.json"))
+    shutil.rmtree(os.path.join(wd, "stage1", "batch=1"))
+    # tamper an already-committed batch's parquet mtime marker would not
+    # matter — committed batches must NOT be recomputed; verify by noting
+    # batch 0 dir mtime stays put
+    before = os.path.getmtime(os.path.join(wd, "stage1", "batch=0"))
+    r2 = (
+        checkpointed_aknn(spark, pts, pts, wd, k=5, num_batches=3)
+        .toPandas()
+        .sort_values(["input_id", "rank"])
+        .reset_index(drop=True)
+    )
+    after = os.path.getmtime(os.path.join(wd, "stage1", "batch=0"))
+    assert before == after
+    assert r1.equals(r2)
+
+    direct = (
+        all_knn_join(pts, pts, k=5)
+        .toPandas()
+        .sort_values(["input_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert (r1.neighbor_id.values == direct.neighbor_id.values).all()
+    assert (r1.dist_sq.values == direct.dist_sq.values).all()
+
+
+def test_grid_persisted_and_reloaded(spark, rng, tmp_path):
+    wd = str(tmp_path / "ckpt2")
+    pts = _mk(spark, rng, 200)
+    checkpointed_aknn(spark, pts, pts, wd, k=3, num_batches=2)
+    g = load_grid(wd)
+    assert g is not None and g.num_stripes >= 1
+    assert g.y_splits[0] == float("-inf") and g.y_splits[-1] == float("inf")
