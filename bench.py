@@ -1,0 +1,110 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Runs the headline operators at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. The metric mirrors BASELINE.json: all-kNN
+join throughput (points/sec) on the synthesized image corpus + tile
+assignment rows/sec, with TPC-H-derived point tables as the larger
+stress load. tools/run_scaling.py re-runs this at two parallelism
+levels for the scaling-efficiency evidence (BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from spark_aknn.aknn import all_knn_join  # noqa: E402
+from spark_aknn.cells import cell_id  # noqa: E402
+from spark_aknn.points import points_from_keys, points_from_phash  # noqa: E402
+from spark_aknn.raster import tile_histogram  # noqa: E402
+from spark_aknn.session import default_cpus, get_spark  # noqa: E402
+from spark_aknn.spatial_join import radius_join_count  # noqa: E402
+from spark_aknn.tables import images_table  # noqa: E402
+
+K = 10
+TILE_T = 64
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = default_cpus()
+    spark = get_spark("spark_aknn_bench", cpus=cpus)
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    li_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    n_images = max(1000, li_rows // 6)
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # -- image corpus: synthesize once, reuse (persist like a real table)
+    imgs = images_table(spark, n_images, num_partitions=cpus * 2).persist()
+    timed("images_synth", lambda: imgs.count())
+    ipts = points_from_phash(imgs).select("id", "x", "y").persist()
+
+    timed("aknn_images_k10", lambda: all_knn_join(ipts, ipts, k=K).count())
+    extra["aknn_images_points_per_sec"] = round(n_images / timings["aknn_images_k10"], 1)
+
+    timed("tile_assign_images", lambda: tile_histogram(ipts, TILE_T).count())
+    extra["tile_assign_rows_per_sec"] = round(n_images / timings["tile_assign_images"], 1)
+
+    # -- TPC-H-derived point tables (larger joins)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lpts = points_from_keys(
+        li.select((F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("lkey")), "lkey"
+    ).persist()
+    lpts.count()
+    timed("aknn_lineitem_k10", lambda: all_knn_join(lpts, lpts, k=K).count())
+    extra["aknn_lineitem_points_per_sec"] = round(li_rows / timings["aknn_lineitem_k10"], 1)
+
+    opts = points_from_keys(spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey")
+    timed("radius_count_orders_lineitem", lambda: radius_join_count(opts, lpts, 0.003).count())
+
+    timed(
+        "cells_lineitem",
+        lambda: lpts.select(cell_id(F.col("x"), F.col("y"), 12).alias("c")).agg(
+            F.countDistinct("c")
+        ).collect(),
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from spark_aknn.pipeline.dedup import minhash_dedup_pairs
+
+    timed("minhash_dedup_documents", lambda: minhash_dedup_pairs(docs, threshold=0.5).count())
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from spark_aknn.pipeline.ann import all_pairs_l2_topk
+
+    timed("ann_l2_topk", lambda: all_pairs_l2_topk(emb, k=10).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "aknn+tiling headline suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "throughput": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -84,7 +84,8 @@ def _stage1_kernel_factory(k: int):
         tx, ty, tid = _sorted_training(tpdf)
         ids, dists, counts, scanned = window_topk(qx, qy, tx, ty, tid, k)
         kth = np.where(counts >= k, dists[:, k - 1], np.inf)
-        mask = ids >= 0
+        # valid entries are the first `count` (sorted by (dist, id));
+        # NEVER test ids >= 0 — ids may be arbitrary int64 (xxhash64)
         return pd.DataFrame(
             {
                 "stripe_id": np.full(len(qid), key[0], dtype=np.int32),
@@ -94,8 +95,8 @@ def _stage1_kernel_factory(k: int):
                 "y": qy,
                 "kth_dist_sq": kth,
                 "n_found": counts,
-                "neighbor_ids": [row[m] for row, m in zip(ids, mask)],
-                "dist_sqs": [row[m] for row, m in zip(dists, mask)],
+                "neighbor_ids": [row[:c] for row, c in zip(ids, counts)],
+                "dist_sqs": [row[:c] for row, c in zip(dists, counts)],
                 "scanned": scanned,
             }
         )
@@ -119,13 +120,13 @@ def _stage2_kernel_factory(k: int):
         cap = qpdf["kth_dist_sq"].to_numpy()
         tx, ty, tid = _sorted_training(tpdf)
         ids, dists, counts, _ = window_topk(qx, qy, tx, ty, tid, k, cap=cap)
-        mask = ids >= 0
         import numpy as np
 
-        reps = mask.sum(axis=1)
+        # valid = first `count` entries per row (ids may be any int64)
+        mask = np.arange(ids.shape[1])[None, :] < counts[:, None]
         return pd.DataFrame(
             {
-                "input_id": np.repeat(qid, reps),
+                "input_id": np.repeat(qid, counts),
                 "neighbor_id": ids[mask],
                 "dist_sq": dists[mask],
             }

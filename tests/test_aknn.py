@@ -120,6 +120,23 @@ def test_duplicate_coordinates(spark, rng):
     _check(spark, ids, x, y, ids, x, y, k=15, num_stripes=5)
 
 
+def test_negative_int64_ids(spark, rng):
+    """Regression: ids are arbitrary int64 (e.g. xxhash64 of image ids),
+    roughly half negative — padding must not be confused with real ids."""
+    n = 400
+    x, y = _uniform(rng, n), _uniform(rng, n)
+    ids = rng.integers(-(2**62), 2**62, n).astype(np.int64)
+    got = (
+        all_knn_join(make_points_df(spark, ids, x, y), make_points_df(spark, ids, x, y), k=10)
+        .toPandas()
+    )
+    assert len(got) == n * 10
+    exp_ids, exp_d = brute_force_topk(x[np.argsort(ids)], y[np.argsort(ids)], x, y, ids, 10)
+    got = got.sort_values(["input_id", "rank"]).reset_index(drop=True)
+    assert (got.neighbor_id.values.reshape(-1, 10) == exp_ids).all()
+    assert (got.dist_sq.values.reshape(-1, 10) == exp_d).all()
+
+
 def test_k1_and_single_point(spark):
     _check(spark, [1, 2], [0.1, 0.9], [0.1, 0.9], [7], [0.5], [0.5], k=1)
 
