@@ -234,7 +234,9 @@ def all_knn_join(
     spark = input_points.sparkSession
     if grid is None:
         if num_stripes <= 0:
-            num_stripes = auto_num_stripes(training_points.count(), k)
+            num_stripes = auto_num_stripes(
+                training_points.count(), k, spark.sparkContext.defaultParallelism
+            )
         grid = build_grid(training_points, num_stripes, salt_factor=salt_factor)
     cells = cells_df(spark, grid)
     cols = ["stripe_id", "sub_id", "id", "x", "y"]

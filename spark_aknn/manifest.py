@@ -86,7 +86,9 @@ def checkpointed_aknn(
     grid = load_grid(workdir)
     if grid is None:
         if num_stripes <= 0:
-            num_stripes = auto_num_stripes(training_points.count(), k)
+            num_stripes = auto_num_stripes(
+                training_points.count(), k, spark.sparkContext.defaultParallelism
+            )
         grid = build_grid(training_points, num_stripes, salt_factor=salt_factor)
         save_grid(workdir, grid)
 

@@ -53,15 +53,18 @@ def minhash_signatures(
     """+ ``signature array<long>``: sig[p] = min over shingles of
     xxhash64(shingle, p). JVM-side throughout."""
     sdf = with_shingles(df, text_col, n)
+    # hash each shingle string ONCE; per-permutation minima then rehash
+    # the int64 (cheap) instead of re-hashing the string num_perm times
+    sdf = sdf.withColumn("shingle_hashes", F.transform("shingles", lambda s: F.xxhash64(s)))
 
     def perm_hash(p):
         # closure factory: a 2-arg lambda would be read as (element, index)
-        return lambda s: F.xxhash64(s, F.lit(p))
+        return lambda h: F.xxhash64(h, F.lit(p))
 
     sig = F.array(
-        *[F.array_min(F.transform("shingles", perm_hash(p))) for p in range(num_perm)]
+        *[F.array_min(F.transform("shingle_hashes", perm_hash(p))) for p in range(num_perm)]
     )
-    return sdf.withColumn("signature", sig)
+    return sdf.withColumn("signature", sig).drop("shingle_hashes")
 
 
 def lsh_candidate_pairs(
@@ -118,7 +121,12 @@ def minhash_dedup_pairs(
     Verification joins the shingle sets back (broadcastable when the
     candidate set is small; Catalyst decides) and computes
     |A ∩ B| / |A ∪ B| with array_intersect — exact, JVM-side."""
-    sigs = minhash_signatures(df, text_col, n, num_perm).select(id_col, "shingles", "signature")
+    sigs = (
+        minhash_signatures(df, text_col, n, num_perm)
+        .select(id_col, "shingles", "signature")
+        .persist()  # reused by banding and both verify joins
+    )
+    sigs.count()  # materialize so downstream joins plan with known sizes
     cand = lsh_candidate_pairs(sigs, id_col, bands, num_perm // bands)
     sh = sigs.select(F.col(id_col), "shingles")
     joined = (
