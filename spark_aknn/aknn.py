@@ -47,8 +47,8 @@ from spark_aknn.sweep import window_topk
 
 _STAGE1_SCHEMA = (
     "stripe_id int, sub_id int, input_id long, x double, y double, "
-    "kth_dist_sq double, n_found int, "
-    "neighbor_ids array<long>, dist_sqs array<double>, scanned long"
+    "kth_dist_sq double, n_found int, rank int, "
+    "neighbor_id long, dist_sq double, scanned long"
 )
 _STAGE2_SCHEMA = "input_id long, neighbor_id long, dist_sq double"
 
@@ -59,49 +59,81 @@ def _sorted_training(tpdf: pd.DataFrame):
     return tx[order], tpdf["y"].to_numpy()[order], tpdf["id"].to_numpy()[order]
 
 
+def _stage1_empty() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "stripe_id": pd.Series(dtype="int32"),
+            "sub_id": pd.Series(dtype="int32"),
+            "input_id": pd.Series(dtype="int64"),
+            "x": pd.Series(dtype="float64"),
+            "y": pd.Series(dtype="float64"),
+            "kth_dist_sq": pd.Series(dtype="float64"),
+            "n_found": pd.Series(dtype="int32"),
+            "rank": pd.Series(dtype="int32"),
+            "neighbor_id": pd.Series(dtype="Int64"),
+            "dist_sq": pd.Series(dtype="float64"),
+            "scanned": pd.Series(dtype="int64"),
+        }
+    )
+
+
 def _stage1_kernel_factory(k: int):
     import numpy as np
 
     def kernel(key, qpdf: pd.DataFrame, tpdf: pd.DataFrame) -> pd.DataFrame:
         if len(qpdf) == 0:
-            return pd.DataFrame(
-                {
-                    "stripe_id": pd.Series(dtype="int32"),
-                    "sub_id": pd.Series(dtype="int32"),
-                    "input_id": pd.Series(dtype="int64"),
-                    "x": pd.Series(dtype="float64"),
-                    "y": pd.Series(dtype="float64"),
-                    "kth_dist_sq": pd.Series(dtype="float64"),
-                    "n_found": pd.Series(dtype="int32"),
-                    "neighbor_ids": pd.Series(dtype="object"),
-                    "dist_sqs": pd.Series(dtype="object"),
-                    "scanned": pd.Series(dtype="int64"),
-                }
-            )
+            return _stage1_empty()
         qx = qpdf["x"].to_numpy()
         qy = qpdf["y"].to_numpy()
         qid = qpdf["id"].to_numpy()
         tx, ty, tid = _sorted_training(tpdf)
         ids, dists, counts, scanned = window_topk(qx, qy, tx, ty, tid, k)
         kth = np.where(counts >= k, dists[:, k - 1], np.inf)
-        # valid entries are the first `count` (sorted by (dist, id));
-        # NEVER test ids >= 0 — ids may be arbitrary int64 (xxhash64)
-        return pd.DataFrame(
+        # FLAT output, pure-numpy construction (no per-row Python):
+        # one row per (query, rank<=n_found); queries with zero
+        # candidates (empty training cell) emit a rank=0 marker row so
+        # the boundary exchange still sees them. Validity is positional
+        # (first n_found entries) — ids may be arbitrary int64.
+        m = len(qid)
+        mask = np.arange(ids.shape[1])[None, :] < counts[:, None]
+        reps = np.maximum(counts, 1)  # zero-candidate queries keep 1 marker row
+        ranks = np.broadcast_to(np.arange(1, ids.shape[1] + 1, dtype=np.int32), ids.shape)
+        out = pd.DataFrame(
             {
-                "stripe_id": np.full(len(qid), key[0], dtype=np.int32),
-                "sub_id": np.full(len(qid), key[1], dtype=np.int32),
-                "input_id": qid,
-                "x": qx,
-                "y": qy,
-                "kth_dist_sq": kth,
-                "n_found": counts,
-                "neighbor_ids": [row[:c] for row, c in zip(ids, counts)],
-                "dist_sqs": [row[:c] for row, c in zip(dists, counts)],
-                "scanned": scanned,
+                "stripe_id": np.full(int(reps.sum()), key[0], dtype=np.int32),
+                "sub_id": np.full(int(reps.sum()), key[1], dtype=np.int32),
+                "input_id": np.repeat(qid, reps),
+                "x": np.repeat(qx, reps),
+                "y": np.repeat(qy, reps),
+                "kth_dist_sq": np.repeat(kth, reps),
+                "n_found": np.repeat(counts, reps),
+                "rank": _flat_with_markers(ranks, mask, counts, np.int32(0)),
+                "neighbor_id": _flat_with_markers(ids, mask, counts, np.int64(-1)),
+                "dist_sq": _flat_with_markers(dists, mask, counts, np.float64("inf")),
+                "scanned": np.repeat(scanned, reps),
             }
         )
+        return out
 
     return kernel
+
+
+def _flat_with_markers(mat, mask, counts, marker):
+    """Flatten mat[mask] but keep one `marker` entry for zero-count rows
+    so every query appears at least once."""
+    import numpy as np
+
+    if (counts > 0).all():
+        return mat[mask]
+    parts_mask = mask.copy()
+    zero = counts == 0
+    parts_mask[zero, 0] = True
+    flat = mat[parts_mask]
+    # positions of the zero-count rows within the flattened output
+    reps = np.maximum(counts, 1)
+    starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+    flat[starts[zero]] = marker
+    return flat
 
 
 def _stage2_kernel_factory(k: int):
@@ -143,15 +175,12 @@ def stage1_local_topk(input_cells: DataFrame, training_cells: DataFrame, k: int)
     )
 
 
-def build_frontier(stage1: DataFrame, cells: DataFrame, grid: Grid) -> DataFrame:
-    """Queries × target cells that might still improve their top-k.
-
-    All pruning is JVM-side column math on the broadcast cell table:
-    a target cell qualifies iff the squared distance from the query to
-    the cell's rectangle is <= the stage-1 kth bound (the Spark analogue
+def with_escape_flag(stage1: DataFrame, cells: DataFrame) -> DataFrame:
+    """Flag queries whose kth-radius circle escapes their own cell —
+    only those can gain candidates from other cells (the Spark analogue
     of the stripe-boundary prune dy_boundary^2 < heap.top,
     PlaneSweepStripesAlgorithm.h:77-110, generalized to rectangles).
-    """
+    Broadcast join + column math; no Python, no shuffle."""
     own = cells.select(
         F.col("stripe_id").alias("q_stripe"),
         F.col("sub_id").alias("q_sub"),
@@ -172,8 +201,17 @@ def build_frontier(stage1: DataFrame, cells: DataFrame, grid: Grid) -> DataFrame
         | F.col("kth_dist_sq").isNull()
         | (F.col("kth_dist_sq") == float("inf"))
     )
-    frontier = q.filter(escapes).select("q_stripe", "q_sub", "input_id", "x", "y", "kth_dist_sq")
+    return q.withColumn("escapes", escapes).drop("o_ylo", "o_yhi", "o_xlo", "o_xhi")
 
+
+def build_frontier(flagged: DataFrame, cells: DataFrame, grid: Grid) -> DataFrame:
+    """Escaping queries × target cells that might improve their top-k:
+    target qualifies iff squared distance from the query to the cell
+    rectangle is <= the stage-1 kth bound. Broadcast cell table; all
+    pruning JVM-side."""
+    frontier = flagged.filter(F.col("escapes") & (F.col("rank") <= 1)).select(
+        "q_stripe", "q_sub", "input_id", "x", "y", "kth_dist_sq"
+    )
     tgt = cells.select("stripe_id", "sub_id", "ylo", "yhi", "xlo", "xhi")
     joined = frontier.crossJoin(F.broadcast(tgt)).filter(
         (F.col("stripe_id") != F.col("q_stripe")) | (F.col("sub_id") != F.col("q_sub"))
@@ -194,27 +232,31 @@ def stage2_exchange(frontier: DataFrame, training_cells: DataFrame, k: int) -> D
     )
 
 
-def merge_topk(stage1: DataFrame, stage2: DataFrame, k: int) -> DataFrame:
-    """Final JVM-side merge: explode stage-1 arrays, union stage-2
-    candidates, window top-k. Equivalent of the reference's final heap
-    drain + sort by (inputPointId, position)
-    (AllKnnResultStripesParallelExternal.h:492-510), as one
-    whole-stage-codegen'd window — no Python."""
-    base = stage1.select(
-        "input_id",
-        F.explode(F.arrays_zip(F.col("neighbor_ids"), F.col("dist_sqs"))).alias("z"),
-    ).select(
-        "input_id",
-        F.col("z.neighbor_ids").alias("neighbor_id"),
-        F.col("z.dist_sqs").alias("dist_sq"),
+def merge_topk(flagged_stage1: DataFrame, stage2: DataFrame, k: int) -> DataFrame:
+    """Final merge, split by the escape flag:
+
+    * non-escaping queries (the majority once stripes are sized right):
+      stage-1 rows already carry final ranks — a filter, zero shuffle;
+    * escaping queries: union their stage-1 candidates with stage-2
+      candidates and window-rank (whole-stage-codegen, no Python) — the
+      shuffle is bounded by the frontier, not the corpus.
+
+    Equivalent of the reference's final heap drain + sort by
+    (inputPointId, position) (AllKnnResultStripesParallelExternal.h:492-510).
+    """
+    cols = ["input_id", "rank", "neighbor_id", "dist_sq"]
+    done = flagged_stage1.filter(~F.col("escapes") & (F.col("rank") >= 1)).select(*cols)
+    needy = flagged_stage1.filter(F.col("escapes") & (F.col("rank") >= 1)).select(
+        "input_id", "neighbor_id", "dist_sq"
     )
-    allc = base.unionByName(stage2)
+    allc = needy.unionByName(stage2)
     w = Window.partitionBy("input_id").orderBy("dist_sq", "neighbor_id")
-    return (
+    merged = (
         allc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("input_id", "rank", "neighbor_id", "dist_sq")
+        .select(*cols)
     )
+    return done.unionByName(merged)
 
 
 def all_knn_join(
@@ -233,11 +275,13 @@ def all_knn_join(
     """
     spark = input_points.sparkSession
     if grid is None:
+        # one scan: count + quantile sketch together
+        from spark_aknn.grid import count_and_quantile_sketch
+
+        n_t, sketch = count_and_quantile_sketch(training_points, "y")
         if num_stripes <= 0:
-            num_stripes = auto_num_stripes(
-                training_points.count(), k, spark.sparkContext.defaultParallelism
-            )
-        grid = build_grid(training_points, num_stripes, salt_factor=salt_factor)
+            num_stripes = auto_num_stripes(n_t, k, spark.sparkContext.defaultParallelism)
+        grid = build_grid(training_points, num_stripes, salt_factor=salt_factor, sketch=sketch)
     cells = cells_df(spark, grid)
     cols = ["stripe_id", "sub_id", "id", "x", "y"]
     inp = assign_cells(input_points.select("id", "x", "y"), grid).select(*cols)
@@ -245,11 +289,12 @@ def all_knn_join(
     stage1 = stage1_local_topk(inp, trn, k)
     if persist:
         stage1 = stage1.persist()
+    flagged = with_escape_flag(stage1, cells)
     if grid.num_stripes == 1 and not grid.x_splits:
-        return merge_topk(stage1, _empty_stage2(spark), k)
-    frontier = build_frontier(stage1, cells, grid)
+        return merge_topk(flagged, _empty_stage2(spark), k)
+    frontier = build_frontier(flagged, cells, grid)
     stage2 = stage2_exchange(frontier, trn, k)
-    return merge_topk(stage1, stage2, k)
+    return merge_topk(flagged, stage2, k)
 
 
 def _empty_stage2(spark) -> DataFrame:

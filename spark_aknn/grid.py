@@ -54,19 +54,65 @@ class Grid:
         return out
 
 
+QUANTILE_GRID = 1024  # sketch resolution for one-pass boundary derivation
+
+
+def count_and_quantile_sketch(df: DataFrame, col: str = "y") -> tuple[int, list[float]]:
+    """ONE scan returning (row count, QUANTILE_GRID-point quantile
+    sketch). Boundaries for any stripe count are then derived driver-side
+    by resampling the sketch — the reference re-sorts per run
+    (AllKnnResultStripes.h:52-84); we pay a single aggregate instead."""
+    probs = [i / QUANTILE_GRID for i in range(1, QUANTILE_GRID)]
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx(col, probs, 10000).alias("qs"),
+    ).collect()[0]
+    return int(row["n"]), list(row["qs"] or [])
+
+
+def splits_from_sketch(sketch: list[float], num_stripes: int) -> list[float]:
+    """Equal-count boundaries resampled from the sketch; duplicate
+    boundaries fuse (the duplicate-y rule analogue,
+    AllKnnResultStripes.h:205-208)."""
+    if num_stripes <= 1 or not sketch:
+        return [NEG_INF, POS_INF]
+    inner: list[float] = []
+    m = len(sketch) + 1
+    for i in range(1, num_stripes):
+        q = sketch[min(len(sketch) - 1, max(0, int(round(i * m / num_stripes)) - 1))]
+        if not inner or q > inner[-1]:
+            inner.append(q)
+    return [NEG_INF, *inner, POS_INF]
+
+
 def build_grid(
     training: DataFrame,
     num_stripes: int,
     salt_factor: float = 4.0,
     max_subs: int = 32,
     relative_error: float = 0.001,
+    sketch: list[float] | None = None,
 ) -> Grid:
     """Quantile y-splits; oversized stripes (> salt_factor * mean count)
-    get x-quantile substripes sized to bring them back to ~mean."""
-    y_splits = compute_splits(training, num_stripes, col="y", relative_error=relative_error)
+    get x-quantile substripes sized to bring them back to ~mean.
+
+    Scan economy: boundaries come from a quantile sketch (one scan, or
+    zero if the caller passes one). The per-stripe salt-count scan runs
+    ONLY when boundary fusion signals duplicate-heavy data — with all
+    distinct quantiles, equal-count splits are balanced by construction.
+    """
+    if num_stripes >= QUANTILE_GRID // 2:
+        # sketch too coarse for this stripe count — exact quantile pass
+        y_splits = compute_splits(training, num_stripes, col="y", relative_error=relative_error)
+        sketch = None
+    else:
+        if sketch is None:
+            _, sketch = count_and_quantile_sketch(training, "y")
+        y_splits = splits_from_sketch(sketch, num_stripes)
     grid = Grid(y_splits=y_splits)
     actual = len(y_splits) - 1
-    if actual <= 1 or salt_factor <= 0:
+    fused = actual < min(num_stripes, QUANTILE_GRID)
+    if actual <= 1 or salt_factor <= 0 or not fused:
         return grid
     striped = assign_stripes(training, y_splits, col="y", out="stripe_id")
     counts = {r["stripe_id"]: r["cnt"] for r in striped.groupBy("stripe_id").count().withColumnRenamed("count", "cnt").collect()}

@@ -31,6 +31,7 @@ from spark_aknn.aknn import (
     merge_topk,
     stage1_local_topk,
     stage2_exchange,
+    with_escape_flag,
 )
 from spark_aknn.grid import Grid, assign_cells, build_grid, cells_df
 from spark_aknn.stripes import auto_num_stripes
@@ -85,11 +86,12 @@ def checkpointed_aknn(
     os.makedirs(workdir, exist_ok=True)
     grid = load_grid(workdir)
     if grid is None:
+        from spark_aknn.grid import count_and_quantile_sketch
+
+        n_t, sketch = count_and_quantile_sketch(training_points, "y")
         if num_stripes <= 0:
-            num_stripes = auto_num_stripes(
-                training_points.count(), k, spark.sparkContext.defaultParallelism
-            )
-        grid = build_grid(training_points, num_stripes, salt_factor=salt_factor)
+            num_stripes = auto_num_stripes(n_t, k, spark.sparkContext.defaultParallelism)
+        grid = build_grid(training_points, num_stripes, salt_factor=salt_factor, sketch=sketch)
         save_grid(workdir, grid)
 
     cols = ["stripe_id", "sub_id", "id", "x", "y"]
@@ -105,14 +107,14 @@ def checkpointed_aknn(
         out = stage1_local_topk(inp.filter(sel), trn.filter(sel), k)
         path = os.path.join(workdir, f"stage1/batch={b}")
         out.write.mode("overwrite").parquet(path)
+        out_df = spark.read.parquet(path)
         stats = (
-            spark.read.parquet(path)
-            .groupBy("stripe_id", "sub_id")
+            out_df.groupBy("stripe_id", "sub_id")
             .agg(
-                F.count(F.lit(1)).alias("n_queries"),
-                F.sum("scanned").alias("scanned_total"),
+                F.count(F.when(F.col("rank") <= 1, 1)).alias("n_queries"),
+                F.sum(F.when(F.col("rank") <= 1, F.col("scanned"))).alias("scanned_total"),
                 F.max("scanned").alias("scanned_max"),
-                F.sum(F.size("neighbor_ids")).alias("neighbors_emitted"),
+                F.count(F.when(F.col("rank") >= 1, 1)).alias("neighbors_emitted"),
             )
             .collect()
         )
@@ -139,9 +141,10 @@ def checkpointed_aknn(
     if not os.path.exists(final_manifest):
         t0 = time.time()
         cells = cells_df(spark, grid)
-        frontier = build_frontier(stage1, cells, grid)
+        flagged = with_escape_flag(stage1, cells)
+        frontier = build_frontier(flagged, cells, grid)
         stage2 = stage2_exchange(frontier, trn, k)
-        result = merge_topk(stage1, stage2, k)
+        result = merge_topk(flagged, stage2, k)
         result.write.mode("overwrite").parquet(result_path)
         n = spark.read.parquet(result_path).count()
         _write_json_atomic(

@@ -26,7 +26,10 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = cpus or default_cpus()
-    shuffle_partitions = shuffle_partitions or cpus
+    # 2x cores: finer tasks balance skewed cells; AQE advisory size is
+    # lowered below so coalescing doesn't fold CPU-bound stages into a
+    # handful of oversized partitions
+    shuffle_partitions = shuffle_partitions or 2 * cpus
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -34,6 +37,7 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # large Arrow batches keep the numpy kernels amortized; the
         # kernels themselves chunk internally to bound memory
