@@ -37,7 +37,8 @@ cells are simultaneously resident, so one shuffle suffices.
 
 from __future__ import annotations
 
-import pandas as pd
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -47,131 +48,118 @@ from spark_aknn.sweep import window_topk
 
 _STAGE1_SCHEMA = (
     "stripe_id int, sub_id int, input_id long, x double, y double, "
-    "kth_dist_sq double, n_found int, rank int, "
-    "neighbor_id long, dist_sq double, scanned long"
+    "kth_dist_sq double, n_found int, "
+    "neighbor_ids array<long>, dist_sqs array<double>, scanned long"
+)
+_STAGE1_PA = pa.schema(
+    [
+        ("stripe_id", pa.int32()),
+        ("sub_id", pa.int32()),
+        ("input_id", pa.int64()),
+        ("x", pa.float64()),
+        ("y", pa.float64()),
+        ("kth_dist_sq", pa.float64()),
+        ("n_found", pa.int32()),
+        ("neighbor_ids", pa.list_(pa.int64())),
+        ("dist_sqs", pa.list_(pa.float64())),
+        ("scanned", pa.int64()),
+    ]
 )
 _STAGE2_SCHEMA = "input_id long, neighbor_id long, dist_sq double"
+_STAGE2_PA = pa.schema(
+    [("input_id", pa.int64()), ("neighbor_id", pa.int64()), ("dist_sq", pa.float64())]
+)
 
 
-def _sorted_training(tpdf: pd.DataFrame):
-    tx = tpdf["x"].to_numpy()
+def _np(tbl: pa.Table, col: str) -> np.ndarray:
+    return tbl.column(col).to_numpy(zero_copy_only=False)
+
+
+def _sorted_training(tbl: pa.Table):
+    tx = _np(tbl, "x")
     order = tx.argsort(kind="stable")
-    return tx[order], tpdf["y"].to_numpy()[order], tpdf["id"].to_numpy()[order]
+    return tx[order], _np(tbl, "y")[order], _np(tbl, "id")[order]
 
 
-def _stage1_empty() -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "stripe_id": pd.Series(dtype="int32"),
-            "sub_id": pd.Series(dtype="int32"),
-            "input_id": pd.Series(dtype="int64"),
-            "x": pd.Series(dtype="float64"),
-            "y": pd.Series(dtype="float64"),
-            "kth_dist_sq": pd.Series(dtype="float64"),
-            "n_found": pd.Series(dtype="int32"),
-            "rank": pd.Series(dtype="int32"),
-            "neighbor_id": pd.Series(dtype="Int64"),
-            "dist_sq": pd.Series(dtype="float64"),
-            "scanned": pd.Series(dtype="int64"),
-        }
-    )
+def _list_array(flat: np.ndarray, counts: np.ndarray, typ) -> pa.ListArray:
+    """O(1)-copy Arrow list column from flat values + per-row counts —
+    no per-row Python objects (the reason for applyInArrow here)."""
+    offsets = np.zeros(len(counts) + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    return pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, type=typ))
 
 
 def _stage1_kernel_factory(k: int):
-    import numpy as np
-
-    def kernel(key, qpdf: pd.DataFrame, tpdf: pd.DataFrame) -> pd.DataFrame:
-        if len(qpdf) == 0:
-            return _stage1_empty()
-        qx = qpdf["x"].to_numpy()
-        qy = qpdf["y"].to_numpy()
-        qid = qpdf["id"].to_numpy()
-        tx, ty, tid = _sorted_training(tpdf)
+    def kernel(key, qtbl: pa.Table, ttbl: pa.Table) -> pa.Table:
+        if qtbl.num_rows == 0:
+            return _STAGE1_PA.empty_table()
+        qx, qy, qid = _np(qtbl, "x"), _np(qtbl, "y"), _np(qtbl, "id")
+        tx, ty, tid = _sorted_training(ttbl)
         ids, dists, counts, scanned = window_topk(qx, qy, tx, ty, tid, k)
         kth = np.where(counts >= k, dists[:, k - 1], np.inf)
-        # FLAT output, pure-numpy construction (no per-row Python):
-        # one row per (query, rank<=n_found); queries with zero
-        # candidates (empty training cell) emit a rank=0 marker row so
-        # the boundary exchange still sees them. Validity is positional
-        # (first n_found entries) — ids may be arbitrary int64.
-        m = len(qid)
+        # validity is positional (first n_found entries, (dist,id)-sorted);
+        # NEVER test ids >= 0 — ids may be arbitrary int64 (xxhash64)
         mask = np.arange(ids.shape[1])[None, :] < counts[:, None]
-        reps = np.maximum(counts, 1)  # zero-candidate queries keep 1 marker row
-        ranks = np.broadcast_to(np.arange(1, ids.shape[1] + 1, dtype=np.int32), ids.shape)
-        out = pd.DataFrame(
-            {
-                "stripe_id": np.full(int(reps.sum()), key[0], dtype=np.int32),
-                "sub_id": np.full(int(reps.sum()), key[1], dtype=np.int32),
-                "input_id": np.repeat(qid, reps),
-                "x": np.repeat(qx, reps),
-                "y": np.repeat(qy, reps),
-                "kth_dist_sq": np.repeat(kth, reps),
-                "n_found": np.repeat(counts, reps),
-                "rank": _flat_with_markers(ranks, mask, counts, np.int32(0)),
-                "neighbor_id": _flat_with_markers(ids, mask, counts, np.int64(-1)),
-                "dist_sq": _flat_with_markers(dists, mask, counts, np.float64("inf")),
-                "scanned": np.repeat(scanned, reps),
-            }
+        m = len(qid)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.full(m, key[0].as_py(), dtype=np.int32)),
+                pa.array(np.full(m, key[1].as_py(), dtype=np.int32)),
+                pa.array(qid, type=pa.int64()),
+                pa.array(qx),
+                pa.array(qy),
+                pa.array(kth),
+                pa.array(counts, type=pa.int32()),
+                _list_array(ids[mask], counts, pa.int64()),
+                _list_array(dists[mask], counts, pa.float64()),
+                pa.array(scanned, type=pa.int64()),
+            ],
+            schema=_STAGE1_PA,
         )
-        return out
 
     return kernel
-
-
-def _flat_with_markers(mat, mask, counts, marker):
-    """Flatten mat[mask] but keep one `marker` entry for zero-count rows
-    so every query appears at least once."""
-    import numpy as np
-
-    if (counts > 0).all():
-        return mat[mask]
-    parts_mask = mask.copy()
-    zero = counts == 0
-    parts_mask[zero, 0] = True
-    flat = mat[parts_mask]
-    # positions of the zero-count rows within the flattened output
-    reps = np.maximum(counts, 1)
-    starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
-    flat[starts[zero]] = marker
-    return flat
 
 
 def _stage2_kernel_factory(k: int):
-    def kernel(key, qpdf: pd.DataFrame, tpdf: pd.DataFrame) -> pd.DataFrame:
-        if len(qpdf) == 0 or len(tpdf) == 0:
-            return pd.DataFrame(
-                {
-                    "input_id": pd.Series(dtype="int64"),
-                    "neighbor_id": pd.Series(dtype="int64"),
-                    "dist_sq": pd.Series(dtype="float64"),
-                }
-            )
-        qx = qpdf["x"].to_numpy()
-        qy = qpdf["y"].to_numpy()
-        qid = qpdf["input_id"].to_numpy()
-        cap = qpdf["kth_dist_sq"].to_numpy()
-        tx, ty, tid = _sorted_training(tpdf)
+    def kernel(key, qtbl: pa.Table, ttbl: pa.Table) -> pa.Table:
+        if qtbl.num_rows == 0 or ttbl.num_rows == 0:
+            return _STAGE2_PA.empty_table()
+        qx, qy = _np(qtbl, "x"), _np(qtbl, "y")
+        qid = _np(qtbl, "input_id")
+        cap = _np(qtbl, "kth_dist_sq")
+        tx, ty, tid = _sorted_training(ttbl)
         ids, dists, counts, _ = window_topk(qx, qy, tx, ty, tid, k, cap=cap)
-        import numpy as np
-
-        # valid = first `count` entries per row (ids may be any int64)
         mask = np.arange(ids.shape[1])[None, :] < counts[:, None]
-        return pd.DataFrame(
-            {
-                "input_id": np.repeat(qid, counts),
-                "neighbor_id": ids[mask],
-                "dist_sq": dists[mask],
-            }
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.repeat(qid, counts), type=pa.int64()),
+                pa.array(ids[mask], type=pa.int64()),
+                pa.array(dists[mask]),
+            ],
+            schema=_STAGE2_PA,
         )
 
     return kernel
+
+
+def _fresh_lineage(df: DataFrame) -> DataFrame:
+    """Re-project every column through an arithmetic no-op, minting new
+    expression ids. Required for self-joins: cogrouping two plans that
+    SHARE attribute ids trips Spark's dedup/pruning into dropping the
+    right side's non-key columns (the kernels then see a key-only
+    schema). Values are bit-preserved (+0 / +0.0; coordinates here are
+    never -0.0)."""
+    zero = {"int": F.lit(0), "bigint": F.lit(0), "double": F.lit(0.0)}
+    return df.select(
+        *[(F.col(c) + zero[t]).alias(c) for c, t in df.dtypes]
+    )
 
 
 def stage1_local_topk(input_cells: DataFrame, training_cells: DataFrame, k: int) -> DataFrame:
     return (
         input_cells.groupBy("stripe_id", "sub_id")
-        .cogroup(training_cells.groupBy("stripe_id", "sub_id"))
-        .applyInPandas(_stage1_kernel_factory(k), _STAGE1_SCHEMA)
+        .cogroup(_fresh_lineage(training_cells).groupBy("stripe_id", "sub_id"))
+        .applyInArrow(_stage1_kernel_factory(k), _STAGE1_SCHEMA)
     )
 
 
@@ -209,7 +197,7 @@ def build_frontier(flagged: DataFrame, cells: DataFrame, grid: Grid) -> DataFram
     target qualifies iff squared distance from the query to the cell
     rectangle is <= the stage-1 kth bound. Broadcast cell table; all
     pruning JVM-side."""
-    frontier = flagged.filter(F.col("escapes") & (F.col("rank") <= 1)).select(
+    frontier = flagged.filter(F.col("escapes")).select(
         "q_stripe", "q_sub", "input_id", "x", "y", "kth_dist_sq"
     )
     tgt = cells.select("stripe_id", "sub_id", "ylo", "yhi", "xlo", "xhi")
@@ -227,8 +215,22 @@ def build_frontier(flagged: DataFrame, cells: DataFrame, grid: Grid) -> DataFram
 def stage2_exchange(frontier: DataFrame, training_cells: DataFrame, k: int) -> DataFrame:
     return (
         frontier.groupBy("stripe_id", "sub_id")
-        .cogroup(training_cells.groupBy("stripe_id", "sub_id"))
-        .applyInPandas(_stage2_kernel_factory(k), _STAGE2_SCHEMA)
+        .cogroup(_fresh_lineage(training_cells).groupBy("stripe_id", "sub_id"))
+        .applyInArrow(_stage2_kernel_factory(k), _STAGE2_SCHEMA)
+    )
+
+
+def _explode_ranked(flagged: DataFrame) -> DataFrame:
+    """Stage-1 arrays are (dist, id)-sorted: posexplode gives final
+    ranks, no shuffle."""
+    return flagged.select(
+        "input_id",
+        F.posexplode(F.arrays_zip(F.col("neighbor_ids"), F.col("dist_sqs"))).alias("pos", "z"),
+    ).select(
+        "input_id",
+        (F.col("pos") + 1).alias("rank"),
+        F.col("z.neighbor_ids").alias("neighbor_id"),
+        F.col("z.dist_sqs").alias("dist_sq"),
     )
 
 
@@ -245,8 +247,8 @@ def merge_topk(flagged_stage1: DataFrame, stage2: DataFrame, k: int) -> DataFram
     (inputPointId, position) (AllKnnResultStripesParallelExternal.h:492-510).
     """
     cols = ["input_id", "rank", "neighbor_id", "dist_sq"]
-    done = flagged_stage1.filter(~F.col("escapes") & (F.col("rank") >= 1)).select(*cols)
-    needy = flagged_stage1.filter(F.col("escapes") & (F.col("rank") >= 1)).select(
+    done = _explode_ranked(flagged_stage1.filter(~F.col("escapes"))).select(*cols)
+    needy = _explode_ranked(flagged_stage1.filter(F.col("escapes"))).select(
         "input_id", "neighbor_id", "dist_sq"
     )
     allc = needy.unionByName(stage2)

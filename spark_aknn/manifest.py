@@ -107,14 +107,14 @@ def checkpointed_aknn(
         out = stage1_local_topk(inp.filter(sel), trn.filter(sel), k)
         path = os.path.join(workdir, f"stage1/batch={b}")
         out.write.mode("overwrite").parquet(path)
-        out_df = spark.read.parquet(path)
         stats = (
-            out_df.groupBy("stripe_id", "sub_id")
+            spark.read.parquet(path)
+            .groupBy("stripe_id", "sub_id")
             .agg(
-                F.count(F.when(F.col("rank") <= 1, 1)).alias("n_queries"),
-                F.sum(F.when(F.col("rank") <= 1, F.col("scanned"))).alias("scanned_total"),
+                F.count(F.lit(1)).alias("n_queries"),
+                F.sum("scanned").alias("scanned_total"),
                 F.max("scanned").alias("scanned_max"),
-                F.count(F.when(F.col("rank") >= 1, 1)).alias("neighbors_emitted"),
+                F.sum(F.size("neighbor_ids")).alias("neighbors_emitted"),
             )
             .collect()
         )

@@ -26,10 +26,7 @@ class RunMetrics:
 
     def scan_stats(self, stage1: DataFrame) -> None:
         """min/max/avg/total candidate evaluations — parity with the
-        reference's heap-addition statistics (AllKnnResult.h:236-268).
-        Stage-1 output is flat (one row per candidate); reduce to one
-        row per query first."""
-        stage1 = stage1.filter(F.col("rank") <= 1)
+        reference's heap-addition statistics (AllKnnResult.h:236-268)."""
         row = stage1.agg(
             F.min("scanned").alias("scanned_min"),
             F.max("scanned").alias("scanned_max"),
