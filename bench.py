@@ -40,6 +40,15 @@ def main() -> None:
     li_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     n_images = max(1000, li_rows // 6)
 
+    # warm-up: compile codegen paths + spin the Python worker pool so
+    # per-query timings measure the engine, not JVM/worker cold start
+    from spark_aknn.points import lcg_x, lcg_y
+
+    wpts = spark.range(2000).select(
+        (F.col("id") + 1).alias("id"), lcg_x(F.col("id")).alias("x"), lcg_y(F.col("id")).alias("y")
+    )
+    all_knn_join(wpts, wpts, k=5, num_stripes=max(2, cpus)).count()
+
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 

@@ -14,8 +14,9 @@ Physical plan (Spark-first, two shuffles + one window):
   stage 0  grid:      quantile y-stripe boundaries (+ x-substripes for
                       skewed stripes) — small driver-side metadata
   stage 1  local kNN: cogroup input/training on cell id ->
-                      applyInPandas(numpy windowed plane sweep) ->
-                      per-query top-k + kth distance (upper bound)
+                      applyInArrow(numpy windowed plane sweep; ListArray
+                      top-k columns built from values+offsets, zero
+                      per-row Python) -> per-query top-k + kth bound
   stage 2  exchange:  queries whose kth-radius circle escapes their cell
                       fan out to every other cell whose rectangle is
                       within kth (broadcast cell table, JVM-only

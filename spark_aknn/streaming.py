@@ -1,0 +1,93 @@
+"""Structured Streaming layer — streaming spatial ingest + rollups.
+
+The reference is batch-only (SURVEY.md §2.6); this is the graft's
+streaming tier for a continuously-arriving point/event feed:
+
+  * ``stream_tile_counts`` — windowed per-tile event counts with
+    watermarked event time (the streaming twin of
+    raster.tile_histogram): readStream -> derive (x, y) -> tile id ->
+    window + groupBy. Pure built-in operators; state is bounded by the
+    watermark.
+  * ``stream_running_extent`` — per-tile running aggregates via
+    ``applyInPandasWithState`` (custom stateful operator pattern for
+    operators the built-ins can't express).
+
+Tests drive these with the file source over testdata-shaped parquet and
+a MemorySink (see tests/test_streaming.py); on a cluster the same code
+runs against Kafka/files unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_aknn.points import lcg_x, lcg_y
+from spark_aknn.raster import tile_id_col
+
+
+def with_event_points(events: DataFrame) -> DataFrame:
+    """events(event_id, ts, user_id, event_type, value, props) ->
+    + deterministic (x, y) in [0,1)^2 (same LCG as batch points)."""
+    key = F.col("event_id").cast("long")
+    return events.withColumn("x", lcg_x(key)).withColumn("y", lcg_y(key))
+
+
+def stream_tile_counts(
+    events: DataFrame,
+    tiles_per_side: int = 16,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked windowed count of events per raster tile."""
+    pts = with_event_points(events)
+    return (
+        pts.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            tile_id_col(F.col("x"), F.col("y"), tiles_per_side).alias("tile_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "tile_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_running_extent(events: DataFrame, tiles_per_side: int = 16) -> DataFrame:
+    """Per-tile running (count, min/max value) via custom state —
+    demonstrates the applyInPandasWithState pattern for stateful
+    operators beyond built-in windows."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    pts = with_event_points(events).withColumn(
+        "tile_id", tile_id_col(F.col("x"), F.col("y"), tiles_per_side)
+    )
+
+    out_schema = "tile_id long, n long, min_value double, max_value double"
+    state_schema = "n long, min_value double, max_value double"
+
+    def update(key, pdfs, state: GroupState):
+        n, mn, mx = state.get if state.exists else (0, float("inf"), float("-inf"))
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            mn = min(mn, float(pdf["value"].min()))
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mn, mx))
+        yield pd.DataFrame(
+            {"tile_id": [key[0]], "n": [n], "min_value": [mn], "max_value": [mx]}
+        )
+
+    return pts.groupBy("tile_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
