@@ -104,6 +104,29 @@ def q_pip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multiply_x4_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_aknn.multiplier import multiply_x4
+
+    return multiply_x4(_pts(spark, sf_dir, "supplier")).withColumnRenamed("id", "input_id")
+
+
+def q_event_tile_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_aknn.streaming import stream_tile_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return stream_tile_counts(events, tiles_per_side=16, window="1 hour")
+
+
+def q_polygon_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_aknn.raster import polygon_tile_cover
+
+    polys = spark.createDataFrame(
+        [("p0", [{"x": float(a), "y": float(b)} for a, b in POLY])],
+        "poly_id string, ring array<struct<x:double,y:double>>",
+    )
+    return polygon_tile_cover(spark, polys, TILE_T)
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_aknn.pipeline.dedup import exact_dedup
 
@@ -166,6 +189,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_tile_part": q_cell_tile_part,
         "tile_histogram_orders": q_tile_histogram_orders,
         "pip_customer": q_pip_customer,
+        "multiply_x4_supplier": q_multiply_x4_supplier,
+        "event_tile_hourly": q_event_tile_hourly,
+        "polygon_tile_cover": q_polygon_tile_cover,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_stats_documents": q_text_stats_documents,
         "ann_l2_topk": q_ann_l2_topk,
@@ -234,6 +260,20 @@ FROM orders GROUP BY 1
 SELECT c_custkey + 1 AS input_id, {pip_sql(xs_c, ys_c, POLY)} AS inside
 FROM customer
 """,
+        "multiply_x4_supplier": _x4_oracle(),
+        "event_tile_hourly": f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       {tile_sql(lcg_sql('event_id')[0], lcg_sql('event_id')[1], 16)} AS tile_id,
+       count(*) AS n_events,
+       cast(sum(cast(value AS decimal(14,2))) AS double) AS sum_value
+FROM events GROUP BY 1, 2, 3
+""",
+        "polygon_tile_cover": f"""
+SELECT 'p0' AS poly_id, i AS tile_id
+FROM range({TILE_T * TILE_T}) t(i)
+WHERE {pip_sql(f"((i % {TILE_T}) + 0.5) / {TILE_T}.0", f"(cast(floor(i / {TILE_T}.0) as bigint) + 0.5) / {TILE_T}.0", POLY)}
+""",
         "dedup_exact_documents": """
 SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_dups
 FROM documents GROUP BY md5(text)
@@ -263,6 +303,16 @@ FROM embeddings a CROSS JOIN embeddings b
 QUALIFY rank <= 5
 """,
     }
+
+
+def _x4_oracle() -> str:
+    parts = []
+    for q, (dx, dy) in enumerate([(0.0, 0.0), (0.5, 0.0), (0.0, 0.5), (0.5, 0.5)]):
+        parts.append(
+            f"SELECT (id - 1) * 4 + {q + 1} AS input_id, "
+            f"x / 2 + {dx!r} AS x, y / 2 + {dy!r} AS y FROM p"
+        )
+    return f"WITH p AS ({_pts_cte('supplier')})\n" + "\nUNION ALL\n".join(parts)
 
 
 def _l2_unrolled(a: str, b: str) -> str:

@@ -40,7 +40,7 @@ def stream_tile_counts(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Watermarked windowed count of events per raster tile."""
-    pts = with_event_points(events)
+    pts = with_event_points(events).withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         pts.withWatermark("ts", watermark)
         .groupBy(
@@ -49,7 +49,10 @@ def stream_tile_counts(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            # decimal partial sums are order-independent (exact), so the
+            # result is deterministic across partitionings — and matches
+            # the batch SQL oracle bit-for-bit
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
