@@ -68,6 +68,8 @@ def main() -> None:
 
     timed("tile_assign_images", lambda: tile_histogram(ipts, TILE_T).count())
     extra["tile_assign_rows_per_sec"] = round(n_images / timings["tile_assign_images"], 1)
+    imgs.unpersist()
+    ipts.unpersist()
 
     # -- TPC-H-derived point tables (larger joins)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -88,6 +90,7 @@ def main() -> None:
         ).collect(),
     )
 
+    lpts.unpersist()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from spark_aknn.pipeline.dedup import minhash_dedup_pairs
 
