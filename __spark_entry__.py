@@ -147,6 +147,13 @@ def q_ann_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_pairs_l2_topk(emb, k=5)
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_aknn.pipeline.ann import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(emb, max_dist_sq=1.2)
+
+
 def q_minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_aknn.pipeline.dedup import minhash_dedup_pairs
 
@@ -195,6 +202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_stats_documents": q_text_stats_documents,
         "ann_l2_topk": q_ann_l2_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         # rows-only checks (no faithful SQL twin): approximate /
         # hash-function-specific operators
         "minhash_dedup_documents": q_minhash_dedup_documents,
@@ -301,6 +309,11 @@ SELECT a.vec_id AS query_id,
        {d_emb} AS dist_sq
 FROM embeddings a CROSS JOIN embeddings b
 QUALIFY rank <= 5
+""",
+        "embedding_near_dup": f"""
+SELECT a.vec_id AS a, b.vec_id AS b, {d_emb} AS dist_sq
+FROM embeddings a CROSS JOIN embeddings b
+WHERE a.vec_id < b.vec_id AND {d_emb} <= 1.2
 """,
     }
 

@@ -220,3 +220,69 @@ def l2_sql(a_vec: str, b_vec: str, dim: int) -> str:
         for i in range(1, dim + 1)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    max_dist_sq: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a < b) with squared L2 distance <= max_dist_sq —
+    embedding-space near-duplicate detection.
+
+    Exact variant: broadcast the full (id, vector) set, GEMM each
+    corpus partition against it (distances via |a|^2+|b|^2-2ab with a
+    small tolerance), then re-rank candidates with the exact
+    left-to-right distance (bit-identical to the unrolled SQL oracle).
+    Scales to ~10^5 vectors; beyond that, bucket with ivf_topk-style
+    centroids first and run this per bucket.
+    """
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    spark = corpus.sparkSession
+    pdf = corpus.select(id_col, vec_col).toPandas()
+    all_ids = pdf[id_col].to_numpy()
+    all_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    b = spark.sparkContext.broadcast((all_ids, all_mat))
+    out_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("dist_sq", pa.float64())]
+    )
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ids_all, mat_all = b.value
+        sq_all = (mat_all * mat_all).sum(axis=1)
+        for rb in it:
+            tbl = pa.Table.from_batches([rb])
+            ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            mat = np.stack(tbl.column(vec_col).to_pylist()).astype(np.float64)
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                + sq_all[None, :]
+                - 2.0 * (mat @ mat_all.T)
+            )
+            # GEMM rounding tolerance; exact recompute decides
+            cand_q, cand_t = np.nonzero(d2 <= max_dist_sq + 1e-9)
+            keep = ids[cand_q] < ids_all[cand_t]  # a < b, no self/dup
+            cand_q, cand_t = cand_q[keep], cand_t[keep]
+            if len(cand_q) == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([], type=pa.int64()), pa.array([], type=pa.int64()),
+                     pa.array([], type=pa.float64())],
+                    schema=out_schema,
+                )
+                continue
+            exact = _l2_exact_ltr(mat[cand_q] - mat_all[cand_t])
+            final = exact <= max_dist_sq
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids[cand_q][final], type=pa.int64()),
+                    pa.array(ids_all[cand_t][final], type=pa.int64()),
+                    pa.array(exact[final]),
+                ],
+                schema=out_schema,
+            )
+
+    return corpus.select(id_col, vec_col).mapInArrow(batches, "a long, b long, dist_sq double")

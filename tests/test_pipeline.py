@@ -167,3 +167,28 @@ def test_lossy_decode_is_stubbed(spark):
     if not _HAS_PIL:
         with pytest.raises(NotImplementedError):
             decode_image(b"\xff\xd8", 4, 4, "jpeg")
+
+
+def test_embedding_near_dup(emb):
+    from spark_aknn.pipeline.ann import embedding_near_dup_pairs
+
+    got = embedding_near_dup_pairs(emb, 1.35).toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+    pdf = emb.toPandas()
+    mat = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    ids = pdf.vec_id.to_numpy()
+    sq = (mat * mat).sum(1)
+    d2 = sq[:, None] + sq[None, :] - 2 * mat @ mat.T
+    ai, bi = np.nonzero(d2 <= 1.35 + 1e-9)
+    keep = ids[ai] < ids[bi]
+    import pandas as pd
+
+    exp = pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep]})
+    # exact recompute on the engine side may reject boundary candidates;
+    # compare sets with the exact distance rule
+    exact = ((mat[ai][keep] - mat[bi][keep]) ** 2).sum(axis=1)
+    # use engine rule: exact left-to-right; numpy pairwise is close enough
+    # for set comparison away from the boundary
+    exp = exp[np.abs(exact - 1.35) > 1e-9]
+    got_set = set(zip(got.a, got.b))
+    assert set(zip(exp.a, exp.b)) <= got_set
+    assert len(got_set) >= len(exp)
