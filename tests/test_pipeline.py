@@ -192,3 +192,34 @@ def test_embedding_near_dup(emb):
     got_set = set(zip(got.a, got.b))
     assert set(zip(exp.a, exp.b)) <= got_set
     assert len(got_set) >= len(exp)
+
+
+def test_payload_roundtrip_invariants(spark, tmp_path):
+    """BASELINE.json per-row invariant: after a write/read pipeline pass,
+    decoded pixels are identical (PSNR inf for raw) and captions equal."""
+    from spark_aknn.tables import images_table
+
+    imgs = images_table(spark, 50)
+    path = str(tmp_path / "imgs")
+    imgs.write.parquet(path)
+    back = spark.read.parquet(path)
+    a = imgs.toPandas().sort_values("image_id").reset_index(drop=True)
+    b = back.toPandas().sort_values("image_id").reset_index(drop=True)
+    assert (a.caption == b.caption).all()
+    assert all(bytes(x) == bytes(y) for x, y in zip(a.bytes, b.bytes))
+    assert (a.phash == b.phash).all()
+
+
+def test_result_count_and_agg_consumption(spark):
+    """Regression: count()/agg() directly on engine outputs must not
+    break kernel inputs (Catalyst pruning of self-cogroup columns)."""
+    import numpy as np
+
+    from spark_aknn.aknn import all_knn_join
+    from tests.conftest import make_points_df
+
+    rng = np.random.default_rng(3)
+    pts = make_points_df(spark, np.arange(1, 301), rng.random(300), rng.random(300))
+    res = all_knn_join(pts, pts, k=5)
+    assert res.count() == 1500
+    assert res.agg(F.sum("rank")).collect()[0][0] == 300 * (1 + 2 + 3 + 4 + 5)
