@@ -80,6 +80,9 @@ def main() -> None:
     timed("aknn_lineitem_k10", lambda: all_knn_join(lpts, lpts, k=K).count())
     extra["aknn_lineitem_points_per_sec"] = round(li_rows / timings["aknn_lineitem_k10"], 1)
 
+    timed("tile_assign_lineitem", lambda: tile_histogram(lpts, TILE_T).count())
+    extra["tile_assign_lineitem_rows_per_sec"] = round(li_rows / timings["tile_assign_lineitem"], 1)
+
     opts = points_from_keys(spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey")
     timed("radius_count_orders_lineitem", lambda: radius_join_count(opts, lpts, 0.003).count())
 

@@ -187,3 +187,24 @@ def test_window_topk_cap(rng):
         kept = d[i][ids[i] >= 0]
         assert (kept <= cap[i]).all()
         assert counts[i] == (d_all[i] <= cap[i]).sum()
+
+
+def test_clustered_data(spark, rng):
+    """Clustered (Gaussian-blob) distribution — the reference's `sc*`
+    benchmark family (run_sc125K.cmd). Exercises uneven stripe density."""
+    centers = rng.random((8, 2))
+    pick = rng.integers(0, 8, 500)
+    x = np.clip(centers[pick, 0] + rng.normal(0, 0.01, 500), 0, 0.999999)
+    y = np.clip(centers[pick, 1] + rng.normal(0, 0.01, 500), 0, 0.999999)
+    ids = np.arange(1, 501)
+    _check(spark, ids, x, y, ids, x, y, k=10)
+
+
+def test_zipf_skew(spark, rng):
+    """Zipf-skewed y (reference's syntheticdata runs) — heavy mass near
+    one value; exercises fused boundaries + salting + AQE paths."""
+    z = rng.zipf(1.5, 800).astype(float)
+    y = np.minimum(z / z.max(), 1.0) * 0.001  # crush most mass into a thin band
+    x = rng.random(800)
+    ids = np.arange(1, 801)
+    _check(spark, ids, x, y, ids, x, y, k=7, num_stripes=10)
