@@ -104,6 +104,16 @@ def q_pip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_aknn_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region-constrained kNN: neighbors restricted to training points
+    inside a polygon — the PIP layer composed with the kNN join
+    (SURVEY.md §7.5 'region-constrained kNN')."""
+    trn = _pts(spark, sf_dir, "orders").filter(
+        points_in_polygon_col(F.col("x"), F.col("y"), _ring_col())
+    )
+    return all_knn_join(_pts(spark, sf_dir, "supplier"), trn, k=5)
+
+
 def q_multiply_x4_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_aknn.multiplier import multiply_x4
 
@@ -196,6 +206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_tile_part": q_cell_tile_part,
         "tile_histogram_orders": q_tile_histogram_orders,
         "pip_customer": q_pip_customer,
+        "aknn_in_polygon": q_aknn_in_polygon,
         "multiply_x4_supplier": q_multiply_x4_supplier,
         "event_tile_hourly": q_event_tile_hourly,
         "polygon_tile_cover": q_polygon_tile_cover,
@@ -268,6 +279,12 @@ FROM orders GROUP BY 1
 SELECT c_custkey + 1 AS input_id, {pip_sql(xs_c, ys_c, POLY)} AS inside
 FROM customer
 """,
+        "aknn_in_polygon": _aknn_oracle(
+            _pts_cte("supplier"),
+            f"SELECT * FROM ({_pts_cte('orders')}) WHERE "
+            + pip_sql("x", "y", POLY),
+            5,
+        ),
         "multiply_x4_supplier": _x4_oracle(),
         "event_tile_hourly": f"""
 SELECT date_trunc('hour', ts) AS window_start,
