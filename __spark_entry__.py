@@ -120,6 +120,12 @@ def q_multiply_x4_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multiply_x4(_pts(spark, sf_dir, "supplier")).withColumnRenamed("id", "input_id")
 
 
+def q_multiply_x2_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_aknn.multiplier import multiply_x2
+
+    return multiply_x2(_pts(spark, sf_dir, "supplier")).withColumnRenamed("id", "input_id")
+
+
 def q_event_tile_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_aknn.streaming import stream_tile_counts
 
@@ -208,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_customer": q_pip_customer,
         "aknn_in_polygon": q_aknn_in_polygon,
         "multiply_x4_supplier": q_multiply_x4_supplier,
+        "multiply_x2_supplier": q_multiply_x2_supplier,
         "event_tile_hourly": q_event_tile_hourly,
         "polygon_tile_cover": q_polygon_tile_cover,
         "dedup_exact_documents": q_dedup_exact_documents,
@@ -286,6 +293,7 @@ FROM customer
             5,
         ),
         "multiply_x4_supplier": _x4_oracle(),
+        "multiply_x2_supplier": _x2_oracle(),
         "event_tile_hourly": f"""
 SELECT date_trunc('hour', ts) AS window_start,
        date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
@@ -336,11 +344,24 @@ WHERE a.vec_id < b.vec_id AND {d_emb} <= 1.2
 
 
 def _x4_oracle() -> str:
+    # reference quadrant/id order: DatasetMultiplier/main.cpp:74-77
     parts = []
-    for q, (dx, dy) in enumerate([(0.0, 0.0), (0.5, 0.0), (0.0, 0.5), (0.5, 0.5)]):
+    for q, (dx, dy) in enumerate([(0.0, 0.0), (0.0, 0.5), (0.5, 0.0), (0.5, 0.5)]):
         parts.append(
             f"SELECT (id - 1) * 4 + {q + 1} AS input_id, "
             f"x / 2 + {dx!r} AS x, y / 2 + {dy!r} AS y FROM p"
+        )
+    return f"WITH p AS ({_pts_cte('supplier')})\n" + "\nUNION ALL\n".join(parts)
+
+
+def _x2_oracle() -> str:
+    # factor 2: keep even dense ids (positions i%2==1, main.cpp:205),
+    # renumber survivor j = id/2 - 1, full four-quadrant expansion
+    parts = []
+    for q, (dx, dy) in enumerate([(0.0, 0.0), (0.0, 0.5), (0.5, 0.0), (0.5, 0.5)]):
+        parts.append(
+            f"SELECT (id / 2 - 1) * 4 + {q + 1} AS input_id, "
+            f"x / 2 + {dx!r} AS x, y / 2 + {dy!r} AS y FROM p WHERE id % 2 = 0"
         )
     return f"WITH p AS ({_pts_cte('supplier')})\n" + "\nUNION ALL\n".join(parts)
 

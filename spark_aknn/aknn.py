@@ -169,7 +169,13 @@ def with_escape_flag(stage1: DataFrame, cells: DataFrame) -> DataFrame:
     only those can gain candidates from other cells (the Spark analogue
     of the stripe-boundary prune dy_boundary^2 < heap.top,
     PlaneSweepStripesAlgorithm.h:77-110, generalized to rectangles).
-    Broadcast join + column math; no Python, no shuffle."""
+    Broadcast join + column math; no Python, no shuffle.
+
+    Squared arithmetic throughout (edge-gap^2 <= kth_dist_sq, inclusive)
+    — monotone and exactly conservative; a sqrt-based radius test could
+    round a few-ulp boundary case to non-escaping and silently drop a
+    true neighbor. The kernel and the reference both compare squared
+    distances (PlaneSweepStripesAlgorithm.h:77)."""
     own = cells.select(
         F.col("stripe_id").alias("q_stripe"),
         F.col("sub_id").alias("q_sub"),
@@ -181,14 +187,18 @@ def with_escape_flag(stage1: DataFrame, cells: DataFrame) -> DataFrame:
     q = stage1.withColumnsRenamed({"stripe_id": "q_stripe", "sub_id": "q_sub"}).join(
         F.broadcast(own), ["q_stripe", "q_sub"], "left"
     )
-    r = F.sqrt(F.col("kth_dist_sq"))
+    kth = F.col("kth_dist_sq")
+    gxl = F.col("x") - F.col("o_xlo")
+    gxh = F.col("o_xhi") - F.col("x")
+    gyl = F.col("y") - F.col("o_ylo")
+    gyh = F.col("o_yhi") - F.col("y")
     escapes = (
-        (F.col("x") - r < F.col("o_xlo"))
-        | (F.col("x") + r >= F.col("o_xhi"))
-        | (F.col("y") - r < F.col("o_ylo"))
-        | (F.col("y") + r >= F.col("o_yhi"))
-        | F.col("kth_dist_sq").isNull()
-        | (F.col("kth_dist_sq") == float("inf"))
+        (gxl * gxl <= kth)
+        | (gxh * gxh <= kth)
+        | (gyl * gyl <= kth)
+        | (gyh * gyh <= kth)
+        | kth.isNull()
+        | (kth == float("inf"))
     )
     return q.withColumn("escapes", escapes).drop("o_ylo", "o_yhi", "o_xlo", "o_xhi")
 
@@ -196,13 +206,37 @@ def with_escape_flag(stage1: DataFrame, cells: DataFrame) -> DataFrame:
 def build_frontier(flagged: DataFrame, cells: DataFrame, grid: Grid) -> DataFrame:
     """Escaping queries × target cells that might improve their top-k:
     target qualifies iff squared distance from the query to the cell
-    rectangle is <= the stage-1 kth bound. Broadcast cell table; all
-    pruning JVM-side."""
+    rectangle is <= the stage-1 kth bound.
+
+    Scale path: bucketize the query's y-range [y-r, y+r] against the
+    stripe boundaries (JVM binary search, one Bucketizer pass for both
+    ends), explode the stripe SPAN, then equi-join the broadcast cell
+    table on stripe_id — a BroadcastHashJoin whose per-row fanout is the
+    stripes the radius actually touches, not a cross join against every
+    cell (at 10^5+ cells a BroadcastNestedLoopJoin scans all of them per
+    frontier row). The candidate radius is inflated by 1e-9 relative so
+    sqrt rounding can never skip a stripe; the exact squared
+    rectangle-distance filter below decides membership."""
+    from spark_aknn.stripes import assign_stripes_multi
+
     frontier = flagged.filter(F.col("escapes")).select(
         "q_stripe", "q_sub", "input_id", "x", "y", "kth_dist_sq"
     )
+    r = F.sqrt(F.coalesce(F.col("kth_dist_sq"), F.lit(float("inf")))) * F.lit(1.0 + 1e-9)
+    spans = assign_stripes_multi(
+        frontier.withColumn("y_lo_probe", F.col("y") - r).withColumn(
+            "y_hi_probe", F.col("y") + r
+        ),
+        grid.y_splits,
+        ["y_lo_probe", "y_hi_probe"],
+        ["s_lo", "s_hi"],
+    )
+    exploded = spans.select(
+        "q_stripe", "q_sub", "input_id", "x", "y", "kth_dist_sq",
+        F.explode(F.sequence(F.col("s_lo"), F.col("s_hi"))).alias("stripe_id"),
+    )
     tgt = cells.select("stripe_id", "sub_id", "ylo", "yhi", "xlo", "xhi")
-    joined = frontier.crossJoin(F.broadcast(tgt)).filter(
+    joined = exploded.join(F.broadcast(tgt), "stripe_id").filter(
         (F.col("stripe_id") != F.col("q_stripe")) | (F.col("sub_id") != F.col("q_sub"))
     )
     ddx = F.greatest(F.col("xlo") - F.col("x"), F.col("x") - F.col("xhi"), F.lit(0.0))
@@ -262,6 +296,22 @@ def merge_topk(flagged_stage1: DataFrame, stage2: DataFrame, k: int) -> DataFram
     return done.unionByName(merged)
 
 
+# The one persisted intermediate per all_knn_join call (stage-1 is read
+# by three downstream branches). Bounded: each new call releases the
+# previous call's cache, and release_cached() empties it explicitly, so
+# a long-running driver issuing many joins holds at most one cached
+# stage-1 at a time instead of accumulating until eviction thrash.
+_CACHED_STAGE1: list[DataFrame] = []
+
+
+def release_cached() -> None:
+    """Unpersist any stage-1 DataFrame cached by a previous all_knn_join.
+    Safe to call after the join's result has been materialized; a
+    not-yet-materialized result simply recomputes."""
+    while _CACHED_STAGE1:
+        _CACHED_STAGE1.pop().unpersist()
+
+
 def all_knn_join(
     input_points: DataFrame,
     training_points: DataFrame,
@@ -270,28 +320,43 @@ def all_knn_join(
     grid: Grid | None = None,
     salt_factor: float = 4.0,
     persist: bool = True,
+    split_on: str = "training",
 ) -> DataFrame:
     """All-kNN join: (id,x,y) x (id,x,y) -> (input_id, rank, neighbor_id, dist_sq).
 
     num_stripes=0 picks round(sqrt(|T|)/sqrt(k)) like the reference
     (AllKnnResultStripes.h:141-151).
+
+    split_on selects which side the stripe boundaries are computed on —
+    "training" (default) or "input" — mirroring the reference's
+    splitByT flag (AllKnnResultStripes.h:317-423, algorithm ids 18-25).
+    Results are identical either way (the boundary exchange is exact for
+    ANY partitioning); the choice only steers balance when the two
+    sides' y-distributions diverge.
     """
+    if split_on not in ("training", "input"):
+        raise ValueError(f"split_on must be 'training' or 'input', got {split_on!r}")
     spark = input_points.sparkSession
+    split_side = training_points if split_on == "training" else input_points
     if grid is None:
         # one scan: count + quantile sketch together
         from spark_aknn.grid import count_and_quantile_sketch
 
-        n_t, sketch = count_and_quantile_sketch(training_points, "y")
+        n_t, sketch = count_and_quantile_sketch(split_side, "y")
         if num_stripes <= 0:
+            if split_on == "input":  # auto formula is defined on |T|
+                n_t = training_points.count()
             num_stripes = auto_num_stripes(n_t, k, spark.sparkContext.defaultParallelism)
-        grid = build_grid(training_points, num_stripes, salt_factor=salt_factor, sketch=sketch)
+        grid = build_grid(split_side, num_stripes, salt_factor=salt_factor, sketch=sketch)
     cells = cells_df(spark, grid)
     cols = ["stripe_id", "sub_id", "id", "x", "y"]
     inp = assign_cells(input_points.select("id", "x", "y"), grid).select(*cols)
     trn = assign_cells(training_points.select("id", "x", "y"), grid).select(*cols)
     stage1 = stage1_local_topk(inp, trn, k)
     if persist:
+        release_cached()
         stage1 = stage1.persist()
+        _CACHED_STAGE1.append(stage1)
     flagged = with_escape_flag(stage1, cells)
     if grid.num_stripes == 1 and not grid.x_splits:
         return merge_topk(flagged, _empty_stage2(spark), k)

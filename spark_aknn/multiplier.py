@@ -1,17 +1,22 @@
 """Dataset multiplier — scale a point table ×4 / ×2 / ÷2.
 
-Re-expresses /root/reference/DatasetMultiplier/main.cpp:
-  * ×4 (:51-89): halve both coordinates, replicate into the four
-    quadrants with offsets (0,0) (0.5,0) (0,0.5) (0.5,0.5), renumber —
-    here a union of four projections (one narrow pass, no shuffle).
-  * ×2 (:100-...): every 2nd point of the ×4 expansion.
-  * ÷2 sampling: every 2nd point, renumbered densely.
+Re-expresses /root/reference/DatasetMultiplier/main.cpp exactly:
+  * ×4 (write_output_points, factor 4, main.cpp:70-89): halve both
+    coordinates, replicate into the four quadrants in the reference's id
+    order — 4*pos+1 -> (x/2, y/2), 4*pos+2 -> (x/2, 0.5+y/2),
+    4*pos+3 -> (0.5+x/2, y/2), 4*pos+4 -> (0.5+x/2, 0.5+y/2) — here a
+    union of four projections (one narrow pass, no shuffle).
+  * ×2 (main.cpp:169-170 / :205-206): keep every 2nd SOURCE point
+    (0-based position i%2==1, i.e. even dense ids), then apply the full
+    four-quadrant expansion with the survivor's renumbered position j.
+  * ÷2 (factor -1): keep positions i%2==1 (even ids), renumber densely.
+  * ÷2 odd (factor -2): keep positions i%2==0 (odd ids), renumber densely.
 
 Renumbering uses deterministic arithmetic on the original dense ids
-(the reference renumbers sequentially while streaming; with 4n points
-we assign quadrant q's copy of id i the new id (i-1)*4 + q + 1, which
-is dense 1..4n and reproducible in any order — a distributed-friendly
-equivalent; `zipWithIndex`-style global renumbering would serialize).
+(the reference renumbers sequentially while streaming; with dense
+1-based ids the 0-based position is id-1, so quadrant q of id i maps to
+(i-1)*4 + q + 1 — dense, reproducible in any order, no zipWithIndex
+serialization).
 """
 
 from __future__ import annotations
@@ -19,14 +24,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# reference quadrant order: targetPoints[0..3] in DatasetMultiplier/main.cpp:74-77
+_QUADRANTS = [(0.0, 0.0), (0.0, 0.5), (0.5, 0.0), (0.5, 0.5)]
 
-def multiply_x4(points: DataFrame) -> DataFrame:
-    """4x the dataset by quadrant replication; stays in [0,1)^2."""
+
+def _expand_quadrants(points: DataFrame, pos: F.Column) -> DataFrame:
+    """4 points per row: new id = 4*pos + q + 1, reference id order."""
     parts = []
-    for q, (dx, dy) in enumerate([(0.0, 0.0), (0.5, 0.0), (0.0, 0.5), (0.5, 0.5)]):
+    for q, (dx, dy) in enumerate(_QUADRANTS):
         parts.append(
             points.select(
-                ((F.col("id") - 1) * 4 + q + 1).alias("id"),
+                (pos * 4 + q + 1).cast("long").alias("id"),
                 (F.col("x") / 2 + F.lit(dx)).alias("x"),
                 (F.col("y") / 2 + F.lit(dy)).alias("y"),
             )
@@ -37,16 +45,29 @@ def multiply_x4(points: DataFrame) -> DataFrame:
     return out
 
 
+def multiply_x4(points: DataFrame) -> DataFrame:
+    """4x the dataset by quadrant replication; stays in [0,1)^2."""
+    return _expand_quadrants(points, F.col("id") - 1)
+
+
 def multiply_x2(points: DataFrame) -> DataFrame:
-    """Every 2nd point of the x4 expansion, renumbered densely."""
-    x4 = multiply_x4(points)
-    return x4.filter(F.col("id") % 2 == 1).select(
-        ((F.col("id") - 1) / 2 + 1).cast("long").alias("id"), "x", "y"
-    )
+    """Every 2nd SOURCE point (even dense ids = 0-based positions i%2==1,
+    main.cpp:205), each expanded into all four quadrants with survivor
+    position j = id/2 - 1 (so new ids are dense 1..2n)."""
+    survivors = points.filter(F.col("id") % 2 == 0)
+    return _expand_quadrants(survivors, (F.col("id") / 2 - 1).cast("long"))
 
 
 def sample_half(points: DataFrame) -> DataFrame:
-    """Every 2nd point (odd original ids), renumbered densely."""
+    """Factor -1: positions i%2==1 (even dense ids), renumbered densely
+    (main.cpp:169 with write_output_points pos+1)."""
+    return points.filter(F.col("id") % 2 == 0).select(
+        (F.col("id") / 2).cast("long").alias("id"), "x", "y"
+    )
+
+
+def sample_half_odd(points: DataFrame) -> DataFrame:
+    """Factor -2: positions i%2==0 (odd dense ids), renumbered densely."""
     return points.filter(F.col("id") % 2 == 1).select(
-        ((F.col("id") - 1) / 2 + 1).cast("long").alias("id"), "x", "y"
+        ((F.col("id") + 1) / 2).cast("long").alias("id"), "x", "y"
     )

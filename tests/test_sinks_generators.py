@@ -47,6 +47,25 @@ def test_reference_sink_null_padding(spark, rng, tmp_path):
     assert lines.iloc[0].line.index("(NULL") < lines.iloc[0].line.index("(9 ")
 
 
+def test_reference_sink_byte_format(spark):
+    """Byte-exact twin of the reference writer: '\\t(' before EVERY pair
+    (AllKnnResult.h:149), default-ostream 6-significant-digit distances,
+    NULL sentinel printed as DBL_MAX (PointNeighbors.h:51)."""
+    res = spark.createDataFrame(
+        [(7, 1, 12, 0.00012345678), (7, 2, 3, 0.25), (7, 3, 5, 2.0)],
+        "input_id long, rank int, neighbor_id long, dist_sq double",
+    )
+    line = to_reference_lines(res, 4).toPandas().iloc[0].line
+    # C++ twin: printf-%g of each distance, heap pop order (sentinel
+    # first, then descending distance)
+    assert line == (
+        "7\t(NULL %g)\t(5 %g)\t(3 %g)\t(12 %g)"
+        % (1.7976931348623157e308, 2.0, 0.25, 0.00012345678)
+    )
+    assert "(NULL 1.79769e+308)" in line
+    assert "(12 0.000123457)" in line  # 6 sig digits, zeros stripped
+
+
 def test_generators_deterministic_and_shaped(spark):
     u1 = uniform_points(spark, 500).toPandas().sort_values("id")
     u2 = uniform_points(spark, 500, num_partitions=7).toPandas().sort_values("id")

@@ -5,25 +5,61 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import functions as F
 
-from spark_aknn.multiplier import multiply_x2, multiply_x4, sample_half
+from spark_aknn.multiplier import multiply_x2, multiply_x4, sample_half, sample_half_odd
 from spark_aknn.streaming import stream_tile_counts, with_event_points
 from tests.conftest import SF_DIR, make_points_df
 
 
+def _ref_multiplier_twin(ids, x, y, factor):
+    """numpy twin of DatasetMultiplier/main.cpp write_output_points:
+    source point at 0-based position i (dense id i+1) is kept per the
+    factor's i%2 rule and expanded in the reference's exact id order."""
+    out = {}
+    j = 0
+    for i in range(len(ids)):
+        keep = (
+            (factor == -1 and i % 2 == 1)
+            or (factor == -2 and i % 2 == 0)
+            or factor in (1, 4)
+            or (factor == 2 and i % 2 == 1)
+        )
+        if not keep:
+            continue
+        if factor < 0:
+            out[j + 1] = (x[i], y[i])
+        else:
+            sx, sy = x[i] / 2.0, y[i] / 2.0
+            out[4 * j + 1] = (sx, sy)
+            out[4 * j + 2] = (sx, 0.5 + sy)
+            out[4 * j + 3] = (0.5 + sx, sy)
+            out[4 * j + 4] = (0.5 + sx, 0.5 + sy)
+        j += 1
+    return out
+
+
 def test_multiplier(spark, rng):
     n = 200
-    pts = make_points_df(spark, np.arange(1, n + 1), rng.random(n), rng.random(n))
+    x, y = rng.random(n), rng.random(n)
+    pts = make_points_df(spark, np.arange(1, n + 1), x, y)
     x4 = multiply_x4(pts).toPandas().sort_values("id").reset_index(drop=True)
     assert len(x4) == 4 * n
     assert list(x4.id) == list(range(1, 4 * n + 1))  # dense renumbering
     assert x4.x.between(0, 1).all() and x4.y.between(0, 1).all()
-    # each quadrant holds exactly n points
-    quad = (x4.x >= 0.5).astype(int) + 2 * (x4.y >= 0.5).astype(int)
-    assert quad.value_counts().eq(n).all()
-    x2 = multiply_x2(pts).toPandas()
-    assert len(x2) == 2 * n and sorted(x2.id) == list(range(1, 2 * n + 1))
-    h = sample_half(pts).toPandas()
-    assert len(h) == n // 2 and sorted(h.id) == list(range(1, n // 2 + 1))
+    # exact id<->coordinate mapping vs the reference twin
+    want4 = _ref_multiplier_twin(np.arange(1, n + 1), x, y, 4)
+    for _, r in x4.iterrows():
+        assert (r.x, r.y) == want4[r.id]
+    x2 = multiply_x2(pts).toPandas().sort_values("id").reset_index(drop=True)
+    assert len(x2) == 2 * n and list(x2.id) == list(range(1, 2 * n + 1))
+    want2 = _ref_multiplier_twin(np.arange(1, n + 1), x, y, 2)
+    for _, r in x2.iterrows():
+        assert (r.x, r.y) == want2[r.id]
+    h = sample_half(pts).toPandas().sort_values("id").reset_index(drop=True)
+    wanth = _ref_multiplier_twin(np.arange(1, n + 1), x, y, -1)
+    assert len(h) == len(wanth) and all((r.x, r.y) == wanth[r.id] for _, r in h.iterrows())
+    ho = sample_half_odd(pts).toPandas().sort_values("id").reset_index(drop=True)
+    wantho = _ref_multiplier_twin(np.arange(1, n + 1), x, y, -2)
+    assert len(ho) == len(wantho) and all((r.x, r.y) == wantho[r.id] for _, r in ho.iterrows())
 
 
 def test_stream_tile_counts_matches_batch(spark, tmp_path):
