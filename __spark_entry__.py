@@ -221,10 +221,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_documents": q_text_stats_documents,
         "ann_l2_topk": q_ann_l2_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "simhash_near_dups": q_simhash_near_dups,
         # rows-only checks (no faithful SQL twin): approximate /
         # hash-function-specific operators
         "minhash_dedup_documents": q_minhash_dedup_documents,
-        "simhash_near_dups": q_simhash_near_dups,
         "ann_ivf_topk": q_ann_ivf_topk,
         "language_id_documents": q_language_id_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -340,7 +340,14 @@ SELECT a.vec_id AS a, b.vec_id AS b, {d_emb} AS dist_sq
 FROM embeddings a CROSS JOIN embeddings b
 WHERE a.vec_id < b.vec_id AND {d_emb} <= 1.2
 """,
+        "simhash_near_dups": _simhash_oracle(),
     }
+
+
+def _simhash_oracle() -> str:
+    from spark_aknn.pipeline.dedup import simhash_duckdb_sql
+
+    return simhash_duckdb_sql(8, "documents")
 
 
 def _x4_oracle() -> str:

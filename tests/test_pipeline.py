@@ -223,3 +223,66 @@ def test_result_count_and_agg_consumption(spark):
     res = all_knn_join(pts, pts, k=5)
     assert res.count() == 1500
     assert res.agg(F.sum("rank")).collect()[0][0] == 300 * (1 + 2 + 3 + 4 + 5)
+
+
+def test_simhash_banding_complete_at_radius(spark):
+    """Pigeonhole-completeness regression (VERDICT r01): the banded join
+    must find EVERY pair within the requested radius. Oracle: exact
+    all-pairs Hamming over the fingerprints in numpy."""
+    from itertools import combinations
+
+    from spark_aknn.pipeline.dedup import simhash, simhash_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(5, 25))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = simhash(df).toPandas().set_index("doc_id").simhash.astype(np.int64)
+    for radius in (0, 3, 8, 17):
+        got = simhash_near_dup_pairs(
+            spark.createDataFrame(sh.reset_index(), "doc_id long, simhash long"),
+            max_hamming=radius,
+        ).toPandas()
+        got_set = {tuple(sorted((a, b))) for a, b in zip(got.a, got.b)}
+        exp_set = set()
+        for a, b in combinations(sh.index, 2):
+            ham = bin((int(sh[a]) ^ int(sh[b])) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if ham <= radius:
+                exp_set.add(tuple(sorted((a, b))))
+        assert got_set == exp_set, f"radius {radius}"
+
+
+def test_simhash_matches_duckdb_twin(spark):
+    """The Spark fingerprint math (md5-conv word hash, majority vote)
+    must be bit-identical to the DuckDB oracle CTE."""
+    import duckdb
+
+    from spark_aknn.pipeline.dedup import simhash, simhash_duckdb_sql
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),
+        (3, "  Mixed   CASE   and   spacing  "),
+        (4, ""),
+        (5, "unicode naïve café ωmega"),
+        (6, "repeat repeat repeat repeat distinct"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        simhash(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sql = simhash_duckdb_sql(64, "documents")
+    # pull the fp CTE out of the oracle query to compare fingerprints
+    fp = con.execute(
+        sql[: sql.index(")\nSELECT")] + ")\nSELECT doc_id, lo, hi FROM fp ORDER BY doc_id"
+    ).fetchdf()
+    assert list(got.doc_id) == list(fp.doc_id)  # doc 4 absent on both sides
+    combined = (fp.lo.to_numpy().astype(np.uint64)) | (
+        fp.hi.to_numpy().astype(np.uint64) << np.uint64(32)
+    )
+    assert (got.simhash.to_numpy().view(np.uint64) == combined).all()
