@@ -188,7 +188,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_aknn.pipeline.ann import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(emb, k=5, num_centroids=16, nprobe=4)
+    return ivf_topk(emb, k=5, num_centroids=8, nprobe=6)
 
 
 def q_language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -130,13 +130,51 @@ def test_ivf_recall(emb):
     from spark_aknn.pipeline.ann import all_pairs_l2_topk, ivf_topk
 
     ex = all_pairs_l2_topk(emb, k=5).toPandas()
-    iv = ivf_topk(emb, k=5, num_centroids=8, nprobe=4).toPandas()
+    # the test embeddings are unit-norm near-uniform on the sphere — the
+    # hardest case for IVF — so a high probe fraction is needed here;
+    # the clustered test below shows real pruning at nprobe=2
+    iv = ivf_topk(emb, k=5, num_centroids=8, nprobe=6).toPandas()
     exact_sets = ex.groupby("query_id").neighbor_id.apply(set)
     approx_sets = iv.groupby("query_id").neighbor_id.apply(set)
     recall = np.mean(
         [len(exact_sets[q] & approx_sets.get(q, set())) / 5 for q in exact_sets.index]
     )
-    assert recall > 0.3  # approximate by design; exact variant is the baseline
+    assert recall >= 0.9  # r01 verdict: 0.3 was too loose to mean anything
+
+
+def test_ivf_recall_clustered_low_nprobe(spark):
+    """On clustered data (IVF's design case) a LOW probe fraction must
+    already reach high recall — the pruning actually works."""
+    from spark_aknn.pipeline.ann import all_pairs_l2_topk, ivf_topk
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(0, 1, (16, 32))
+    pick = rng.integers(0, 16, 800)
+    mat = (centers[pick] + rng.normal(0, 0.05, (800, 32))).astype(np.float32)
+    rows = [(int(i), mat[i].tolist()) for i in range(800)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ex = all_pairs_l2_topk(df, k=5, num_centroids=16).toPandas()
+    iv = ivf_topk(df, k=5, num_centroids=16, nprobe=2).toPandas()
+    exact_sets = ex.groupby("query_id").neighbor_id.apply(set)
+    approx_sets = iv.groupby("query_id").neighbor_id.apply(set)
+    recall = np.mean(
+        [len(exact_sets[q] & approx_sets.get(q, set())) / 5 for q in exact_sets.index]
+    )
+    assert recall >= 0.9
+
+
+def test_exact_topk_plan_has_no_corpus_collect(emb):
+    """The exact ANN path must be distributed end to end: only bounded
+    metadata (centroid sample, C-row radius table) reaches the driver —
+    regression for the r01 verdict's corpus-toPandas finding."""
+    import inspect
+
+    import spark_aknn.pipeline.ann as annmod
+
+    src = inspect.getsource(annmod.all_pairs_l2_topk) + inspect.getsource(
+        annmod.embedding_near_dup_pairs
+    )
+    assert ".toPandas()" not in src  # (docstrings mention the word)
 
 
 def test_images_and_media(spark):
