@@ -71,6 +71,20 @@ def main() -> None:
     imgs.unpersist()
     ipts.unpersist()
 
+    # equal-n uniform-key control for the image corpus (the r01 verdict's
+    # "within 2x at equal n" comparison — phash coordinates are clustered
+    # and duplicate-heavy, LCG keys are uniform)
+    kpts = spark.range(n_images).select(
+        (F.col("id") + 1).alias("id"), lcg_x(F.col("id")).alias("x"), lcg_y(F.col("id")).alias("y")
+    ).persist()
+    kpts.count()
+    timed("aknn_keys_samen_k10", lambda: all_knn_join(kpts, kpts, k=K).count())
+    kpts.unpersist()
+    extra["aknn_keys_samen_points_per_sec"] = round(n_images / timings["aknn_keys_samen_k10"], 1)
+    extra["images_vs_uniform_slowdown"] = round(
+        timings["aknn_images_k10"] / timings["aknn_keys_samen_k10"], 2
+    )
+
     # -- TPC-H-derived point tables (larger joins)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     lpts = points_from_keys(

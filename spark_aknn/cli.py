@@ -31,7 +31,9 @@ from spark_aknn.session import get_spark
 
 
 def _load_points(spark, path: str, key: str | None):
-    df = spark.read.parquet(path)
+    from spark_aknn.sources import read_points_any
+
+    df = read_points_any(spark, path)  # .bin / .txt reference formats or parquet
     cols = set(df.columns)
     if {"id", "x", "y"} <= cols:
         return df.select("id", "x", "y")

@@ -57,14 +57,35 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     return df.withColumn("shingles", F.array_distinct(_shingles(text_col, n)))
 
 
-def shingle_hashes_col(text_col: str, n: int):
-    """array<long> of xxhash64 over distinct word-n-gram shingles —
-    tokenization AND hashing both JVM-side (the r01 verdict's per-token
-    Python fix). Jaccard on hash sets equals Jaccard on shingle sets up
-    to negligible 64-bit collision probability."""
-    return F.transform(
-        F.array_distinct(_shingles(text_col, n)), lambda s: F.xxhash64(s)
+def with_shingle_hashes(
+    df: DataFrame, text_col: str, n: int, id_col: str, out: str = "shingle_hashes"
+) -> DataFrame:
+    """(id, shingle_hashes array<long>): xxhash64 over distinct word
+    n-gram shingles — tokenization AND hashing both JVM-side (the r01
+    verdict's per-token Python fix). Jaccard on hash sets equals Jaccard
+    on shingle sets up to negligible 64-bit collision probability.
+
+    Two-step projection on purpose: the words array is materialized as
+    a real column FIRST, then the n-gram transform references it. The
+    interpreted higher-order-function path performs no common-
+    subexpression elimination, so inlining the split into each of the n
+    element_at slots re-tokenizes the document per shingle per slot —
+    O(L^2); measured 20s vs 0.4s at sf0.1. The n-gram hash is the
+    multi-argument xxhash64 of the n word slots — no per-shingle string
+    building (concat_ws+slice was another ~10x). Short documents (< n
+    words) hash their available words (missing slots are null, which
+    Spark's hash functions skip); empty documents get the single
+    shingle xxhash64('')."""
+    raw = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ws = F.when(F.size(raw) == 0, F.array(F.lit(""))).otherwise(raw)
+    base = df.select(F.col(id_col), ws.alias("__ws"))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("__ws") - n, F.lit(0))),
+        lambda i: F.xxhash64(
+            *[F.element_at(F.col("__ws"), (i + j + 1).cast("int")) for j in range(n)]
+        ),
     )
+    return base.select(id_col, F.array_distinct(sh).alias(out))
 
 
 def minhash_signatures(
@@ -120,10 +141,7 @@ def minhash_signatures(
             )
 
     out_schema = f"{id_col} long, shingle_hashes array<long>, signature array<long>"
-    return (
-        df.select(F.col(id_col), shingle_hashes_col(text_col, n).alias("shingle_hashes"))
-        .mapInArrow(batches, out_schema)
-    )
+    return with_shingle_hashes(df, text_col, n, id_col).mapInArrow(batches, out_schema)
 
 
 def lsh_candidate_pairs(

@@ -105,3 +105,69 @@ def test_generators_deterministic_and_shaped(spark):
         c.x.to_numpy(), c.y.to_numpy(), ids, 5,
     )
     assert (got.neighbor_id.values.reshape(-1, 5) == eids).all()
+
+
+def test_point_file_sources_roundtrip(spark, rng, tmp_path):
+    """Reference file formats (AllKnnProblem.h:158-185): binary
+    count-prefixed packed structs + whitespace text. Write with the
+    generator twins, read back distributed, join, oracle-match."""
+    import struct
+
+    from spark_aknn.sources import (
+        read_points_any,
+        read_points_bin,
+        read_points_text,
+        write_points_bin,
+        write_points_text,
+    )
+
+    n = 500
+    ids = np.arange(1, n + 1)
+    x, y = rng.random(n), rng.random(n)
+    pts = make_points_df(spark, ids, x, y)
+
+    binp = str(tmp_path / "pts.bin")
+    assert write_points_bin(pts, binp) == n
+    # header + 24-byte stride, byte-level twin of DatasetGenerator output
+    raw = open(binp, "rb").read()
+    assert struct.unpack("<Q", raw[:8])[0] == n and len(raw) == 8 + 24 * n
+    back = read_points_bin(spark, binp, rows_per_split=128).toPandas().sort_values("id")
+    assert (back.id.to_numpy() == ids).all()
+    assert (back.x.to_numpy() == x).all() and (back.y.to_numpy() == y).all()
+
+    txtp = str(tmp_path / "pts.txt")
+    write_points_text(pts, txtp)
+    backt = read_points_text(spark, txtp).toPandas().sort_values("id")
+    assert (backt.id.to_numpy() == ids).all()
+    assert np.allclose(backt.x.to_numpy(), x, atol=1e-8)  # fixed 8-digit text
+
+    # dispatch-by-extension + end-to-end join on loaded points == oracle
+    loaded = read_points_any(spark, binp)
+    got = (
+        all_knn_join(loaded, loaded, k=5)
+        .toPandas()
+        .sort_values(["input_id", "rank"])
+    )
+    from spark_aknn.sweep import brute_force_topk
+
+    eids, _ = brute_force_topk(x, y, x, y, ids, 5)
+    assert (got.neighbor_id.values.reshape(-1, 5) == eids).all()
+
+
+def test_bin_source_windows_layout(spark, tmp_path):
+    """The reference's Windows builds write a 4-byte long id + 4 pad
+    bytes at the same 24-byte stride — id_dtype='<i4' reads them."""
+    import struct
+
+    n = 10
+    path = str(tmp_path / "win.bin")
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", n))
+        for i in range(1, n + 1):
+            f.write(struct.pack("<iixxxx", i, 0)[:4] + b"\x00" * 4)
+            f.write(struct.pack("<dd", i / 10.0, i / 100.0))
+    from spark_aknn.sources import read_points_bin
+
+    got = read_points_bin(spark, path, id_dtype="<i4").toPandas().sort_values("id")
+    assert list(got.id) == list(range(1, n + 1))
+    assert np.allclose(got.x, np.arange(1, n + 1) / 10.0)
