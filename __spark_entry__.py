@@ -203,6 +203,12 @@ def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def q_token_bpe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_aknn.pipeline.text import token_count_bpe
+
+    return token_count_bpe(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "aknn_customer_self": q_aknn_customer_self,
@@ -222,12 +228,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_l2_topk": q_ann_l2_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "simhash_near_dups": q_simhash_near_dups,
+        "language_id_documents": q_language_id_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "token_bpe_documents": q_token_bpe_documents,
         # rows-only checks (no faithful SQL twin): approximate /
         # hash-function-specific operators
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "language_id_documents": q_language_id_documents,
-        "fingerprint_documents": q_fingerprint_documents,
     }
 
 
@@ -341,6 +348,9 @@ FROM embeddings a CROSS JOIN embeddings b
 WHERE a.vec_id < b.vec_id AND {d_emb} <= 1.2
 """,
         "simhash_near_dups": _simhash_oracle(),
+        "language_id_documents": _text_oracle("language_id"),
+        "fingerprint_documents": _text_oracle("fingerprint"),
+        "token_bpe_documents": _text_oracle("token_bpe"),
     }
 
 
@@ -348,6 +358,16 @@ def _simhash_oracle() -> str:
     from spark_aknn.pipeline.dedup import simhash_duckdb_sql
 
     return simhash_duckdb_sql(8, "documents")
+
+
+def _text_oracle(which: str) -> str:
+    from spark_aknn.pipeline import text as textmod
+
+    return {
+        "language_id": textmod.language_id_duckdb_sql,
+        "fingerprint": textmod.fingerprint_duckdb_sql,
+        "token_bpe": textmod.token_bpe_duckdb_sql,
+    }[which]("documents")
 
 
 def _x4_oracle() -> str:

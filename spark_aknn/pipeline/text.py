@@ -75,16 +75,84 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return out
 
 
+# rolling-fingerprint modulus: prime < 2^40, so acc*31 + h < 2^46 and
+# ANSI int64 arithmetic never overflows in either engine
+_FP_P = 1099511627689
+# BPE-ish tokenizer: letter runs, digit runs, punctuation runs, each
+# with an optional leading space (a simplified GPT-2-style pattern kept
+# to constructs Java regex and RE2/DuckDB interpret identically)
+_BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def _word_hash48(w) -> Column:
+    """48-bit word hash both engines compute identically: first 12 hex
+    chars of md5 read as a (positive) integer — Spark conv vs DuckDB
+    '0x' cast; positivity keeps % / pmod semantics aligned."""
+    return F.conv(F.substring(F.md5(w), 1, 12), 16, 10).cast("long")
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive rolling polynomial fingerprint:
-    acc = (acc * 31 + xxhash64(word) mod P) mod P with P a prime near
-    2^40 — modular so ANSI int64 arithmetic never overflows.
-    Distinguishes permuted documents a bag-of-words hash conflates."""
-    P = 1099511627689  # prime < 2^40; acc*31 + h stays < 2^46
+    acc = (acc * 31 + h48(word) mod P) mod P, P prime < 2^40.
+    Distinguishes permuted documents a bag-of-words hash conflates;
+    SQL-expressible (DuckDB twin: fingerprint_duckdb_cte) so the driver
+    oracle checks it value-exactly."""
     words = _words(text_col)
     fp = F.aggregate(
         words,
         F.lit(0).cast("long"),
-        lambda acc, w: F.pmod(acc * F.lit(31) + F.pmod(F.xxhash64(w), F.lit(P)), F.lit(P)),
+        lambda acc, w: F.pmod(acc * F.lit(31) + F.pmod(_word_hash48(w), F.lit(_FP_P)), F.lit(_FP_P)),
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def fingerprint_duckdb_sql(table: str = "documents") -> str:
+    """DuckDB twin of doc_fingerprint (list_reduce fold seeded by a
+    prepended 0, matching Spark's aggregate initial accumulator)."""
+    h = "(('0x' || substr(md5(w), 1, 12))::BIGINT % 1099511627689)"
+    return f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+                          w -> {h})),
+         (acc, h) -> (acc * 31 + h) % 1099511627689
+       ) AS fingerprint
+FROM {table}
+"""
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Sub-word-ish token count via the BPE-style regex — the closer
+    proxy for LLM token budgets than whitespace splitting. Pure JVM
+    regexp_extract_all; identical DuckDB twin."""
+    n = F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_PATTERN), F.lit(0)))
+    return df.select(F.col(id_col), n.cast("int").alias("n_bpe_tokens"))
+
+
+def token_bpe_duckdb_sql(table: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS INTEGER)
+         AS n_bpe_tokens
+FROM {table}
+"""
+
+
+def language_id_duckdb_sql(table: str = "documents") -> str:
+    """DuckDB twin of language_id — the same greatest/CASE cascade with
+    the same alphabetical tie order."""
+    langs = sorted(_STOPWORDS)
+    scores = {
+        lang: (
+            "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+            f"w -> list_contains({_STOPWORDS[lang]!r}, w)))"
+        )
+        for lang in langs
+    }
+    best = "greatest(" + ", ".join(scores[l] for l in langs) + ")"
+    case = "CASE "
+    for lang in langs:  # first match wins = alphabetical tie order
+        case += f"WHEN {best} > 0 AND {scores[lang]} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"SELECT doc_id, {case} AS pred_lang FROM {table}"
