@@ -54,7 +54,12 @@ class Grid:
         return out
 
 
-QUANTILE_GRID = 1024  # sketch resolution for one-pass boundary derivation
+# sketch resolution for one-pass boundary derivation; sized so the
+# auto stripe count sqrt(|T|/k) stays on the single-scan sketch path
+# (exact quantiles kick in above QUANTILE_GRID/2 stripes) up to
+# |T| ~ 4x10^7 at k=10 — beyond that one extra exact-quantile scan
+# per grid build is noise against the join itself
+QUANTILE_GRID = 4096
 
 
 def count_and_quantile_sketch(df: DataFrame, col: str = "y") -> tuple[int, list[float]]:

@@ -34,20 +34,25 @@ POS_INF = float("inf")
 
 
 def auto_num_stripes(training_count: int, k: int, parallelism: int = 32) -> int:
-    """Spark-tuned stripe count.
+    """Auto stripe count = round(sqrt(|T|/k)), the reference's own
+    formula (AllKnnResultStripes.h:141-151), floored at the parallelism
+    level so every core gets work.
 
-    The reference auto-sizes stripes as round(sqrt(|T|/k))
-    (AllKnnResultStripes.h:141-151), which makes stripe height close to
-    the expected kth-neighbor radius — fine there, because cross-stripe
-    reads are shared-memory. On Spark an escaping query costs shuffle
-    rows, so we target height ~3x the expected kth radius
-    (sqrt(k/(pi*|T|))): S = sqrt(|T|/k)/3, floored at the parallelism
-    level so every core still gets work. Empirically 2-4x faster than
-    the reference formula at 10^5-10^6 points (see BENCH/BASELINE.md);
-    correctness never depends on S (boundary exchange is exact)."""
+    This makes stripe height ~ the expected kth-neighbor radius
+    sqrt(k/(pi*|T|)). Round 1 shipped a /3 retune (taller stripes →
+    fewer escaping queries → less exchange shuffle), but the committed
+    sweep (BENCH/STRIPES.md, run_sustripes8M.cmd twin) measured the
+    reference formula ~2.4x FASTER at n=2x10^6 on local[32]: the
+    stage-1 kernel's window width — and with it the dominant
+    distance-evaluation count — grows with cell size, while the
+    exchange is kth-capped and cheap. More, smaller cells also load-
+    balance better. At cluster scale the exchange is one extra shuffle
+    of O(n) rows — same order as the input scan, still not the
+    bottleneck. Correctness never depends on S (boundary exchange is
+    exact for any grid)."""
     if training_count <= 0 or k <= 0:
         return 1
-    s = int(round(math.sqrt(training_count / k) / 3.0))
+    s = int(round(math.sqrt(training_count / k)))
     return max(1, min(training_count, max(parallelism, s)))
 
 

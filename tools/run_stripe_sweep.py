@@ -66,8 +66,8 @@ def main() -> None:
         f"all-kNN self-join, k={k}, n={n:,} uniform LCG points, local[{cpus}],",
         "prebuilt grid per level, interleaved twice, best-of-2.",
         "",
-        f"auto = sqrt(|T|/k)/3 = {auto} (spark_aknn/stripes.py);",
-        f"reference formula sqrt(|T|/k) = {ref} (AllKnnResultStripes.h:141-151).",
+        f"auto = sqrt(|T|/k) = {auto} (spark_aknn/stripes.py, the reference's",
+        f"own formula, AllKnnResultStripes.h:141-151; ref check = {ref}).",
         "",
         "| num_stripes | relation | kNN sec | pts/s |",
         "|---|---|---|---|",
@@ -86,10 +86,11 @@ def main() -> None:
     lines += [
         "",
         f"Best level this host: {argmin} stripes ({best[argmin]:.1f}s). The auto",
-        "formula targets stripe height ~3x the expected kth radius so the",
-        "escape frontier (the only cross-partition traffic) stays small while",
-        "every core keeps work; the sweep bounds how much a per-dataset tune",
-        "could still buy.",
+        "formula (= the reference's sqrt(|T|/k)) sizes stripe height to the",
+        "expected kth radius: wider stripes inflate the kernel's sweep-window",
+        "width (the dominant distance-evaluation cost), many-times-narrower",
+        "stripes explode the escape frontier (see the auto*4 row). Round 1's",
+        "/3 retune sat on the wide side and this sweep retired it.",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "STRIPES.md")
