@@ -209,6 +209,13 @@ def q_token_bpe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count_bpe(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_aknn.pipeline.ann import cosine_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_near_dup_pairs(emb, min_cosine=0.35)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "aknn_customer_self": q_aknn_customer_self,
@@ -232,9 +239,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": q_fingerprint_documents,
         "token_bpe_documents": q_token_bpe_documents,
         # rows-only checks (no faithful SQL twin): approximate /
-        # hash-function-specific operators
+        # hash-function-specific operators, and float32-normalization-
+        # sensitive scores (cosine; numpy-differential-tested instead)
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "cosine_near_dup": q_cosine_near_dup,
     }
 
 

@@ -603,3 +603,51 @@ def embedding_near_dup_pairs(
         .cogroup(_fresh_members(assigned, id_col, vec_col).groupBy("bucket"))
         .applyInArrow(pair_kernel, "a long, b long, dist_sq double")
     )
+
+
+def _normalized(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Unit-normalize the embedding column (Arrow batch kernel; zero
+    vectors pass through unchanged so they never match anything)."""
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in it:
+            tbl = pa.Table.from_batches([rb])
+            if tbl.num_rows == 0:
+                continue
+            ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            mat = _vec_matrix(tbl.column(vec_col))
+            norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+            mat = np.where(norms > 0, mat / np.where(norms == 0, 1.0, norms), mat)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), _vec_list_array(mat)],
+                names=[id_col, vec_col],
+            )
+
+    return corpus.select(id_col, vec_col).mapInArrow(
+        batches, f"{id_col} long, {vec_col} array<float>"
+    )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    min_cosine: float,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a < b) with cosine similarity >= min_cosine —
+    embedding-cosine near-duplicate detection. On unit vectors
+    ||a-b||^2 = 2(1 - cos), so this is the L2 ball-probe near-dup
+    machinery (fully distributed, exact on the normalized vectors)
+    with the threshold mapped to squared distance; the emitted score
+    is cos = 1 - dist_sq/2."""
+    if not -1.0 <= min_cosine <= 1.0:
+        raise ValueError("min_cosine must be in [-1, 1]")
+    unit = _normalized(corpus, id_col, vec_col)
+    max_dist_sq = 2.0 * (1.0 - min_cosine)
+    pairs = embedding_near_dup_pairs(
+        unit, max_dist_sq, num_centroids=num_centroids, id_col=id_col, vec_col=vec_col
+    )
+    return pairs.select(
+        "a", "b", (F.lit(1.0) - F.col("dist_sq") / F.lit(2.0)).alias("cos_sim")
+    )

@@ -324,3 +324,30 @@ def test_simhash_matches_duckdb_twin(spark):
         fp.hi.to_numpy().astype(np.uint64) << np.uint64(32)
     )
     assert (got.simhash.to_numpy().view(np.uint64) == combined).all()
+
+
+def test_cosine_near_dup(emb):
+    from spark_aknn.pipeline.ann import cosine_near_dup_pairs
+
+    min_cos = 0.35
+    got = cosine_near_dup_pairs(emb, min_cos).toPandas()
+    pdf = emb.toPandas()
+    mat = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    ids = pdf.vec_id.to_numpy()
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = unit @ unit.T
+    ai, bi = np.nonzero(cos >= min_cos)
+    keep = ids[ai] < ids[bi]
+    # set comparison away from the float boundary
+    exp = set()
+    for qa, qb in zip(ai[keep], bi[keep]):
+        if cos[qa, qb] >= min_cos + 1e-9:
+            exp.add((ids[qa], ids[qb]))
+    got_set = set(zip(got.a, got.b))
+    assert exp <= got_set
+    # scores agree with numpy within float32-normalization tolerance
+    gmap = {(a, b): c for a, b, c in zip(got.a, got.b, got.cos_sim)}
+    for qa, qb in zip(ai[keep], bi[keep]):
+        key = (ids[qa], ids[qb])
+        if key in gmap:
+            assert abs(gmap[key] - cos[qa, qb]) < 1e-5
