@@ -171,3 +171,18 @@ def test_bin_source_windows_layout(spark, tmp_path):
     got = read_points_bin(spark, path, id_dtype="<i4").toPandas().sort_values("id")
     assert list(got.id) == list(range(1, n + 1))
     assert np.allclose(got.x, np.arange(1, n + 1) / 10.0)
+
+
+def test_text_source_space_separated(spark, tmp_path):
+    """istream >> accepts ANY whitespace; the reader must too."""
+    from spark_aknn.sources import read_points_text
+
+    p = str(tmp_path / "sp.txt")
+    with open(p, "w") as f:
+        f.write("1 0.25 0.75\n")
+        f.write("2\t0.5\t0.5\n")
+        f.write("  3   0.125    0.875  \n\n")
+    got = read_points_text(spark, p).toPandas().sort_values("id")
+    assert list(got.id) == [1, 2, 3]
+    assert list(got.x) == [0.25, 0.5, 0.125]
+    assert list(got.y) == [0.75, 0.5, 0.875]
