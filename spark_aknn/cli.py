@@ -51,7 +51,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--key", help="integer key column to derive (x,y) via LCG when not a point table")
     p.add_argument("--synthetic", type=int, help="generate N deterministic uniform points instead")
     p.add_argument("--k", type=int, default=10)
-    p.add_argument("--num-stripes", type=int, default=0, help="0 = auto (sqrt(|T|/k)/3)")
+    p.add_argument("--num-stripes", type=int, default=0, help="0 = auto (sqrt(|T|/k), the reference formula)")
     p.add_argument("--salt-factor", type=float, default=4.0)
     p.add_argument("--output", required=True, help="parquet output path")
     p.add_argument("--workdir", help="checkpoint dir -> resumable per-batch execution")

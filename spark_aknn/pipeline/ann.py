@@ -71,6 +71,22 @@ def _gemm_d2(qmat: np.ndarray, mat: np.ndarray) -> np.ndarray:
     )
 
 
+def _elementwise_d2(qmat: np.ndarray, cmat: np.ndarray) -> np.ndarray:
+    """(n, C) squared distances via the exact elementwise kernel — no
+    GEMM cancellation error (rounding ~1e-16 relative, vs GEMM's error
+    scaling with the squared vector norms). Used wherever a distance
+    feeds a CORRECTNESS decision against radii that were themselves
+    computed elementwise (the ball probe tests — r2 ADVICE): a GEMM
+    d(q,c_j) overestimated by norm-scaled rounding could reject a
+    bucket holding a true neighbor. C is small (centroid count), so the
+    j-loop costs the same flops as the GEMM it replaces."""
+    d2 = np.empty((qmat.shape[0], cmat.shape[0]), dtype=np.float64)
+    for j in range(cmat.shape[0]):
+        diff = qmat - cmat[j]
+        d2[:, j] = (diff * diff).sum(axis=1)
+    return d2
+
+
 def _topk_partial(q_ids, qmat, ids, mat, k):
     """Exact per-partition top-k. GEMM (|a|^2 + |b|^2 - 2ab) preselects a
     4k candidate margin fast; winners are re-ranked by the exact
@@ -101,11 +117,16 @@ def _vec_matrix(col) -> np.ndarray:
     return flat.reshape(-1, d)
 
 
-def _vec_list_array(mat: np.ndarray) -> pa.ListArray:
+_PA_VEC = {"float": pa.float32(), "double": pa.float64()}
+_NP_VEC = {"float": np.float32, "double": np.float64}
+
+
+def _vec_list_array(mat: np.ndarray, vec_sql_type: str = "float") -> pa.ListArray:
     n, d = mat.shape
     offs = np.arange(0, (n + 1) * d, d, dtype=np.int32)
     return pa.ListArray.from_arrays(
-        pa.array(offs), pa.array(mat.astype(np.float32).ravel(), type=pa.float32())
+        pa.array(offs),
+        pa.array(mat.astype(_NP_VEC[vec_sql_type]).ravel(), type=_PA_VEC[vec_sql_type]),
     )
 
 
@@ -147,11 +168,21 @@ def train_centroids(
 
 
 def _assign_home(
-    corpus: DataFrame, bc, id_col: str, vec_col: str
+    corpus: DataFrame,
+    bc,
+    id_col: str,
+    vec_col: str,
+    vec_sql_type: str = "float",
+    exact_assign: bool = False,
 ) -> DataFrame:
     """(id, vec, bucket int, dist_c double) — nearest centroid + exact
-    distance to it (the quantity the ball radii are built from)."""
-    out_schema = f"{id_col} long, {vec_col} array<float>, bucket int, dist_c double"
+    distance to it (the quantity the ball radii are built from).
+    exact_assign resolves the argmin with the left-to-right elementwise
+    kernel and first-index tie-break — bit-reproducible by a SQL twin
+    (the deterministic IVF oracle path); the default GEMM argmin is
+    faster and equally correct for the exact ball-probe algorithms
+    (ANY home assignment preserves exactness there)."""
+    out_schema = f"{id_col} long, {vec_col} array<{vec_sql_type}>, bucket int, dist_c double"
 
     def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         cmat = bc.value
@@ -161,13 +192,19 @@ def _assign_home(
                 continue
             ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
             mat = _vec_matrix(tbl.column(vec_col))
-            home = _gemm_d2(mat, cmat).argmin(axis=1).astype(np.int32)
+            if exact_assign:
+                d2 = np.stack(
+                    [_l2_exact_ltr(mat - cmat[j]) for j in range(cmat.shape[0])], axis=1
+                )
+                home = d2.argmin(axis=1).astype(np.int32)  # ties -> lowest j
+            else:
+                home = _gemm_d2(mat, cmat).argmin(axis=1).astype(np.int32)
             diff = mat - cmat[home]
             dist_c = np.sqrt((diff * diff).sum(axis=1))
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(ids, type=pa.int64()),
-                    _vec_list_array(mat),
+                    _vec_list_array(mat, vec_sql_type),
                     pa.array(home, type=pa.int32()),
                     pa.array(dist_c, type=pa.float64()),
                 ],
@@ -267,7 +304,7 @@ def _probe_explode(stage1: DataFrame, bc_cr, bound_col: str = "kth_dist_sq") -> 
             qmat = _vec_matrix(tbl.column("qvec"))
             home = tbl.column("home").to_numpy(zero_copy_only=False)
             bound = tbl.column(bound_col).to_numpy(zero_copy_only=False)
-            d_qc = np.sqrt(np.maximum(_gemm_d2(qmat, cmat), 0.0))
+            d_qc = np.sqrt(_elementwise_d2(qmat, cmat))
             with np.errstate(invalid="ignore"):
                 r_q = np.sqrt(bound) * (1.0 + _BALL_SLACK)
             lb = d_qc - radii[None, :]
@@ -391,12 +428,16 @@ def release_cached() -> None:
         _CACHED.pop().unpersist()
 
 
-def _fresh_members(assigned: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def _fresh_members(
+    assigned: DataFrame, id_col: str, vec_col: str, vec_sql_type: str = "float"
+) -> DataFrame:
     """Member-side projection with minted expression ids (the cogroup
     self-join pruning trap — see _fresh_vectors)."""
     return assigned.select(
         (F.col(id_col) + F.lit(0)).alias(id_col),
-        F.transform(F.col(vec_col), lambda x: x + F.lit(0.0).cast("float")).alias(vec_col),
+        F.transform(F.col(vec_col), lambda x: x + F.lit(0.0).cast(vec_sql_type)).alias(
+            vec_col
+        ),
         (F.col("bucket") + F.lit(0)).alias("bucket"),
     )
 
@@ -452,15 +493,30 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    deterministic: bool = False,
 ) -> DataFrame:
     """Approximate self all-kNN: IVF buckets by nearest centroid,
     queries probe their `nprobe` nearest centroids. Same kernels as the
     exact path; recall < 1 by design (tests assert >= 0.9 against the
-    exact variant at the default parameters)."""
+    exact variant at the default parameters).
+
+    deterministic=True makes every algorithm decision SQL-expressible,
+    so ivf_duckdb_sql reproduces the result bit-exactly (the r2
+    verdict's rows-only exclusion becomes a full hash oracle):
+    centroids are the num_centroids smallest-id vectors (no Lloyd
+    iterations), and assignment/probe ranking use the exact
+    left-to-right distance with (distance, centroid-index) tie-break.
+    Centroid *quality* only affects recall, never the IVF contract
+    (top-k among probed buckets), so the deterministic variant
+    exercises the identical bucketing/probe/top-k machinery."""
     spark = corpus.sparkSession
-    cmat = train_centroids(corpus, num_centroids, id_col, vec_col)
+    if deterministic:
+        pdf = corpus.select(id_col, vec_col).orderBy(id_col).limit(num_centroids).toPandas()
+        cmat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    else:
+        cmat = train_centroids(corpus, num_centroids, id_col, vec_col)
     bc = spark.sparkContext.broadcast(cmat)
-    assigned = _assign_home(corpus, bc, id_col, vec_col)
+    assigned = _assign_home(corpus, bc, id_col, vec_col, exact_assign=deterministic)
     out_schema = "bucket int, query_id long, qvec array<float>"
 
     def q_probes(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -472,7 +528,14 @@ def ivf_topk(
                 continue
             ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
             mat = _vec_matrix(tbl.column(vec_col))
-            near = np.argsort(_gemm_d2(mat, cm), axis=1, kind="stable")[:, :p]
+            if deterministic:
+                d2 = np.stack(
+                    [_l2_exact_ltr(mat - cm[j]) for j in range(cm.shape[0])], axis=1
+                )
+            else:
+                d2 = _gemm_d2(mat, cm)
+            # stable sort == (distance, centroid-index) lexicographic
+            near = np.argsort(d2, axis=1, kind="stable")[:, :p]
             qi = np.repeat(np.arange(len(ids)), p)
             yield pa.RecordBatch.from_arrays(
                 [
@@ -501,6 +564,45 @@ def ivf_topk(
     )
 
 
+def ivf_duckdb_sql(
+    dim: int,
+    k: int,
+    num_centroids: int,
+    nprobe: int,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ivf_topk(deterministic=True) — the bit-exact
+    oracle for the approximate path: first-num_centroids-ids centroids,
+    exact-left-to-right assignment and probe ranking with (distance,
+    centroid-index) tie-break, top-k among probed buckets."""
+    d_qc = l2_sql("e.v", "c.cv", dim)
+    d_qt = l2_sql("p.qv", "a.v", dim)
+    return f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS j, {vec_col} AS cv
+  FROM (SELECT {id_col}, {vec_col} FROM {table} ORDER BY {id_col} LIMIT {num_centroids})
+), dqc AS (
+  SELECT e.{id_col} AS vid, e.v, c.j,
+         row_number() OVER (PARTITION BY e.{id_col} ORDER BY {d_qc}, c.j) AS rn
+  FROM (SELECT {id_col}, {vec_col} AS v FROM {table}) e CROSS JOIN cent c
+), assign AS (
+  SELECT vid, v, j AS bucket FROM dqc WHERE rn = 1
+), probes AS (
+  SELECT vid AS qid, v AS qv, j AS bucket FROM dqc WHERE rn <= {nprobe}
+), cand AS (
+  SELECT p.qid AS query_id, a.vid AS neighbor_id, {d_qt} AS dist_sq
+  FROM probes p JOIN assign a ON a.bucket = p.bucket
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY dist_sq, neighbor_id) AS rank,
+       neighbor_id, dist_sq
+FROM cand
+QUALIFY rank <= {k}
+"""
+
+
 def l2_sql(a_vec: str, b_vec: str, dim: int) -> str:
     """Unrolled squared-L2 in ANSI SQL, 1-based list indexing (DuckDB),
     left-associated additions — matches numpy's elementwise order when
@@ -519,6 +621,7 @@ def embedding_near_dup_pairs(
     num_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vec_sql_type: str = "float",
 ) -> DataFrame:
     """All pairs (a < b) with squared L2 distance <= max_dist_sq —
     embedding-space near-duplicate detection. EXACT and distributed:
@@ -532,11 +635,11 @@ def embedding_near_dup_pairs(
     release_cached()
     cmat = train_centroids(corpus, num_centroids, id_col, vec_col)
     bc = spark.sparkContext.broadcast(cmat)
-    assigned = _assign_home(corpus, bc, id_col, vec_col).persist()
+    assigned = _assign_home(corpus, bc, id_col, vec_col, vec_sql_type).persist()
     _CACHED.append(assigned)
     radii = _bucket_radii(assigned, cmat.shape[0])
     bc_cr = spark.sparkContext.broadcast((cmat, radii))
-    out_schema = "bucket int, query_id long, qvec array<float>"
+    out_schema = f"bucket int, query_id long, qvec array<{vec_sql_type}>"
 
     def probes_fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         cm, rr = bc_cr.value
@@ -547,7 +650,7 @@ def embedding_near_dup_pairs(
                 continue
             ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
             mat = _vec_matrix(tbl.column(vec_col))
-            d_qc = np.sqrt(np.maximum(_gemm_d2(mat, cm), 0.0))
+            d_qc = np.sqrt(_elementwise_d2(mat, cm))
             hits = (d_qc - rr[None, :]) <= r_pair
             qi, bj = np.nonzero(hits)
             if len(qi) == 0:
@@ -556,7 +659,7 @@ def embedding_near_dup_pairs(
                 [
                     pa.array(bj.astype(np.int32)),
                     pa.array(ids[qi], type=pa.int64()),
-                    _vec_list_array(mat[qi]),
+                    _vec_list_array(mat[qi], vec_sql_type),
                 ],
                 names=["bucket", "query_id", "qvec"],
             )
@@ -600,14 +703,21 @@ def embedding_near_dup_pairs(
 
     return (
         probes.groupBy("bucket")
-        .cogroup(_fresh_members(assigned, id_col, vec_col).groupBy("bucket"))
+        .cogroup(_fresh_members(assigned, id_col, vec_col, vec_sql_type).groupBy("bucket"))
         .applyInArrow(pair_kernel, "a long, b long, dist_sq double")
     )
 
 
 def _normalized(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Unit-normalize the embedding column (Arrow batch kernel; zero
-    vectors pass through unchanged so they never match anything)."""
+    """Unit-normalize the embedding column in float64 — (id, unit vec as
+    array<double>). The squared norm is the strict left-to-right sum
+    (_l2_exact_ltr on the raw vector), each component divided by its
+    sqrt: every op is a single correctly-rounded IEEE operation, so the
+    DuckDB twin (cosine_duckdb_sql) reproduces the unit vectors — and
+    therefore the downstream exact distances — bit-identically. Zero
+    vectors are DROPPED: cosine similarity is undefined for them (and
+    they would otherwise spuriously pair with everything once the
+    distance threshold exceeds 1)."""
 
     def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in it:
@@ -616,15 +726,16 @@ def _normalized(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
                 continue
             ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
             mat = _vec_matrix(tbl.column(vec_col))
-            norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
-            mat = np.where(norms > 0, mat / np.where(norms == 0, 1.0, norms), mat)
+            norm_sq = _l2_exact_ltr(mat)
+            keep = norm_sq > 0
+            mat = mat[keep] / np.sqrt(norm_sq[keep])[:, None]
             yield pa.RecordBatch.from_arrays(
-                [pa.array(ids, type=pa.int64()), _vec_list_array(mat)],
+                [pa.array(ids[keep], type=pa.int64()), _vec_list_array(mat, "double")],
                 names=[id_col, vec_col],
             )
 
     return corpus.select(id_col, vec_col).mapInArrow(
-        batches, f"{id_col} long, {vec_col} array<float>"
+        batches, f"{id_col} long, {vec_col} array<double>"
     )
 
 
@@ -640,14 +751,57 @@ def cosine_near_dup_pairs(
     ||a-b||^2 = 2(1 - cos), so this is the L2 ball-probe near-dup
     machinery (fully distributed, exact on the normalized vectors)
     with the threshold mapped to squared distance; the emitted score
-    is cos = 1 - dist_sq/2."""
+    is cos = 1 - dist_sq/2. Normalization and all deciding distances
+    are float64 with deterministic IEEE op order end to end
+    (vec_sql_type='double'), so the operator is bit-reproducible by
+    cosine_duckdb_sql — the r2 'float32-normalization-sensitive'
+    exclusion is gone. Zero vectors are excluded (undefined cosine)."""
     if not -1.0 <= min_cosine <= 1.0:
         raise ValueError("min_cosine must be in [-1, 1]")
     unit = _normalized(corpus, id_col, vec_col)
     max_dist_sq = 2.0 * (1.0 - min_cosine)
     pairs = embedding_near_dup_pairs(
-        unit, max_dist_sq, num_centroids=num_centroids, id_col=id_col, vec_col=vec_col
+        unit,
+        max_dist_sq,
+        num_centroids=num_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        vec_sql_type="double",
     )
     return pairs.select(
         "a", "b", (F.lit(1.0) - F.col("dist_sq") / F.lit(2.0)).alias("cos_sim")
     )
+
+
+def cosine_duckdb_sql(
+    dim: int,
+    min_cosine: float,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of cosine_near_dup_pairs — the bit-exact oracle.
+    Recomputes float64 unit vectors with the identical IEEE op order
+    (left-to-right squared-norm sum, one division per component) and
+    the identical pair predicate/score arithmetic."""
+    max_dist_sq = 2.0 * (1.0 - min_cosine)
+    norm = " + ".join(
+        f"(cast({vec_col}[{i}] as double) * cast({vec_col}[{i}] as double))"
+        for i in range(1, dim + 1)
+    )
+    d_unit = " + ".join(
+        f"(a.u[{i}] - b.u[{i}]) * (a.u[{i}] - b.u[{i}])" for i in range(1, dim + 1)
+    )
+    return f"""
+WITH nrm AS (
+  SELECT {id_col}, {vec_col}, ({norm}) AS ns FROM {table}
+), unit AS (
+  SELECT {id_col},
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE) / sqrt(ns)) AS u
+  FROM nrm WHERE ns > 0
+)
+SELECT a.{id_col} AS a, b.{id_col} AS b,
+       1.0 - ({d_unit}) / 2.0 AS cos_sim
+FROM unit a JOIN unit b ON a.{id_col} < b.{id_col}
+WHERE ({d_unit}) <= {max_dist_sq!r}
+"""

@@ -351,3 +351,194 @@ def test_cosine_near_dup(emb):
         key = (ids[qa], ids[qb])
         if key in gmap:
             assert abs(gmap[key] - cos[qa, qb]) < 1e-5
+
+
+def test_derive_banding_threshold_driven():
+    """Banding is derived from the threshold (VERDICT r2 Missing #1):
+    the chosen (bands, rows) must hit the recall target at s=threshold,
+    and a coarser banding (r+1) must not — i.e. the derivation picks the
+    cheapest banding that still meets the bar, not a hard-coded 8x4."""
+    from spark_aknn.pipeline.dedup import derive_banding
+
+    for num_perm in (16, 32, 64):
+        for t in (0.3, 0.5, 0.7, 0.8, 0.9):
+            b, r = derive_banding(num_perm, t, target_recall=0.9)
+            assert b * r <= num_perm
+            assert 1 - (1 - t**r) ** b >= 0.9
+            if r < num_perm:
+                b2 = num_perm // (r + 1)
+                assert 1 - (1 - t ** (r + 1)) ** b2 < 0.9
+    # the r2 hard-coded 8x4 fails this bar at t=0.5; the derivation must not
+    assert 1 - (1 - 0.5**4) ** 8 < 0.9
+    b, r = derive_banding(32, 0.5)
+    assert (b, r) == (16, 2)
+
+
+def test_minhash_recall_at_threshold(spark):
+    """Planted pairs with exact Jaccard just above the threshold are
+    recovered >= 0.9 (the VERDICT r2 task-3 done criterion). Each pair
+    shares a ~71-word prefix of a 100-word doc drawn from its own
+    vocabulary, putting 3-shingle Jaccard in the (0.5, 0.62) band just
+    above threshold=0.5."""
+    from spark_aknn.pipeline.dedup import minhash_dedup_pairs
+
+    rng = np.random.default_rng(7)
+    rows, planted = [], []
+    for p in range(25):
+        vocab = [f"p{p}w{i}" for i in range(60)]
+        common = list(rng.choice(vocab, size=71))
+        a = common + [f"p{p}a{i}" for i in range(29)]
+        b = common + [f"p{p}b{i}" for i in range(29)]
+        rows.append((2 * p, " ".join(a)))
+        rows.append((2 * p + 1, " ".join(b)))
+        sh_a = {tuple(a[i : i + 3]) for i in range(len(a) - 2)}
+        sh_b = {tuple(b[i : i + 3]) for i in range(len(b) - 2)}
+        jac = len(sh_a & sh_b) / len(sh_a | sh_b)
+        if 0.5 <= jac:
+            planted.append((2 * p, 2 * p + 1, jac))
+    assert len(planted) >= 20  # the construction really lands above t
+    assert all(j < 0.65 for _, _, j in planted)  # ...and near the boundary
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = minhash_dedup_pairs(df, threshold=0.5).toPandas()
+    found = set(zip(got.a, got.b))
+    recall = sum((a, b) in found for a, b, _ in planted) / len(planted)
+    assert recall >= 0.9, f"recall {recall} over {len(planted)} borderline pairs"
+
+
+def test_minhash_matches_duckdb_twin(spark):
+    """minhash_dedup_pairs(hash_family='md5') must be bit-identical to
+    minhash_duckdb_sql — pairs, est_jaccard AND jaccard — including the
+    edge docs (empty, null, short < n words, repeated words, spacing)."""
+    import duckdb
+
+    from spark_aknn.pipeline.dedup import minhash_dedup_pairs, minhash_duckdb_sql
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [(i, " ".join(rng.choice(vocab, size=30))) for i in range(20)]
+    rows.append((100, rows[0][1]))  # exact dup
+    rows.append((101, rows[1][1].replace("w1", "w2")))
+    rows += [(102, ""), (103, None), (104, "one two"), (105, "rep rep rep rep"),
+             (106, "  Mixed   CASE  spacing ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        minhash_dedup_pairs(df, threshold=0.3, hash_family="md5")
+        .toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    exp = (
+        con.execute(minhash_duckdb_sql("docs", threshold=0.3))
+        .fetchdf().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert len(got) == len(exp) and len(got) > 0
+    for c in ["a", "b", "est_jaccard", "jaccard"]:
+        assert np.array_equal(got[c].to_numpy(), exp[c].to_numpy()), c
+
+
+def test_simhash_multi_index_exact(spark):
+    """The multi-index Hamming path (wide chunks + 1-bit-flip variant
+    enumeration, forced via a large n_hint) must return exactly the
+    brute-force pair set — the pigeonhole coverage argument in code."""
+    from itertools import combinations
+
+    from spark_aknn.pipeline.dedup import multi_index_params, simhash_near_dup_pairs
+
+    m, e = multi_index_params(8, 100_000)
+    assert e >= 1  # the large-n model must actually choose flip enumeration
+    rng = np.random.default_rng(23)
+    base = rng.integers(0, 2**63, size=20, dtype=np.int64)
+    fps = list(base)
+    for v in base[:10]:  # plant near pairs at radius 1..8
+        flips = rng.choice(64, size=rng.integers(1, 9), replace=False)
+        w = np.int64(v)
+        for f in flips:
+            w = np.bitwise_xor(w, np.int64(1) << np.int64(int(f)))
+        fps.append(w)
+    df = spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(fps)], "doc_id long, simhash long"
+    )
+    got = simhash_near_dup_pairs(df, max_hamming=8, n_hint=100_000).toPandas()
+    got_set = {tuple(sorted((a, b))) for a, b in zip(got.a, got.b)}
+    exp_set = set()
+    for (i, x), (j, y) in combinations(enumerate(fps), 2):
+        if bin((int(x) ^ int(y)) & 0xFFFFFFFFFFFFFFFF).count("1") <= 8:
+            exp_set.add((i, j))
+    assert got_set == exp_set
+
+
+def test_multi_index_params_cover_radius():
+    """Any (m, e) the model returns must satisfy the pigeonhole coverage
+    rule floor(h/m) <= 2e — otherwise the join would miss pairs."""
+    from spark_aknn.pipeline.dedup import multi_index_params
+
+    for h in range(4, 30):
+        for n in (100, 10_000, 1_000_000, 100_000_000):
+            m, e = multi_index_params(h, n)
+            assert h // m <= 2 * e, (h, n, m, e)
+
+
+def test_simhash_radius_bounds(spark):
+    from spark_aknn.pipeline.dedup import simhash_near_dup_pairs
+
+    # 0 vs -2 is Hamming distance 63 (all bits but the lowest differ);
+    # 0 vs -1 is distance 64 — beyond any valid radius
+    df = spark.createDataFrame([(1, 0), (2, -2), (3, -1)], "doc_id long, simhash long")
+    with pytest.raises(ValueError):
+        simhash_near_dup_pairs(df, max_hamming=64)
+    # h=63: near-complements are found (the old min(64, h+1) banding
+    # could lose pairs at the top of the radius range)
+    got = simhash_near_dup_pairs(df, max_hamming=63).toPandas()
+    found = {(a, b) for a, b in zip(got.a, got.b)}
+    assert (1, 2) in found and (1, 3) not in found
+    assert (2, 3) in found  # -2 vs -1 differ in 1 bit
+
+
+def test_cosine_excludes_zero_vectors(spark):
+    from spark_aknn.pipeline.ann import cosine_near_dup_pairs
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector: undefined cosine
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = cosine_near_dup_pairs(df, min_cosine=-1.0, num_centroids=2).toPandas()
+    assert set(zip(got.a, got.b)) == {(1, 2)}
+
+
+def test_ivf_deterministic_matches_duckdb(spark):
+    """ivf_topk(deterministic=True) equals its SQL twin bit-for-bit —
+    centroid choice, exact-ltr assignment/probing, and top-k."""
+    import duckdb
+
+    from spark_aknn.pipeline.ann import ivf_duckdb_sql, ivf_topk
+
+    rng = np.random.default_rng(31)
+    dim = 8
+    mat = rng.standard_normal((120, dim)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(120), "embedding": list(map(list, mat))})
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    got = (
+        ivf_topk(df, k=4, num_centroids=5, nprobe=3, deterministic=True)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    import pyarrow as pa
+
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pa.table(
+            {
+                "vec_id": pa.array(pdf.vec_id.to_numpy(), type=pa.int64()),
+                "embedding": pa.array(list(pdf.embedding), type=pa.list_(pa.float32())),
+            }
+        ),
+    )
+    exp = (
+        con.execute(ivf_duckdb_sql(dim, k=4, num_centroids=5, nprobe=3))
+        .fetchdf().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in ["query_id", "rank", "neighbor_id", "dist_sq"]:
+        assert np.array_equal(got[c].to_numpy(), exp[c].to_numpy()), c

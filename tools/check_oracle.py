@@ -46,6 +46,11 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
             g, e = canon(got), canon(exp)
             for c in g.columns:
                 gv, ev = g[c].to_numpy(), e[c].to_numpy()
+                # dtype-kind mismatch (e.g. int vs float) hash-fails at
+                # the driver even when values coerce equal — flag it
+                if gv.dtype.kind != ev.dtype.kind:
+                    status.append(f"DTYPE[{c}] {gv.dtype} vs {ev.dtype}")
+                    continue
                 same = (
                     np.array_equal(gv, ev)
                     if gv.dtype == object or ev.dtype == object

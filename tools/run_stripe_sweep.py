@@ -3,9 +3,9 @@
 Mirrors the reference's published stripe sweep
 (/root/reference/PlaneSweepParallel/bin/Release/run_sustripes8M.cmd:
 numStripes 50..6400 at fixed n, algo 12) and justifies the engine's
-auto formula sqrt(|T|/k)/3 (spark_aknn/stripes.py) with data: the sweep
-runs the headline all-kNN self-join at multiples of the auto count plus
-the reference's own sqrt(|T|/k).
+auto formula sqrt(|T|/k) (spark_aknn/stripes.py — the reference's own
+P9 formula; round-1's /3 retune was retired by this sweep's data) by
+running the headline all-kNN self-join at multiples of the auto count.
 
 One session, levels interleaved twice, best-of-2 per level (the host
 VM's speed drifts; relative ordering within a tight loop is reliable).
