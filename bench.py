@@ -12,6 +12,17 @@ that collected the corpus on the driver (r01 verdict: scale-broken) to
 the fully-distributed ball-probe path; at sf0.1's 2,000 vectors its
 wall time is dominated by the extra fixed stage overhead that
 amortizes at real corpus sizes.
+
+Cross-round note (r03): the r02 bench's minhash_dedup_documents 12.2s
+"4x regression vs r1" was a cold-path artifact, not the operator: the
+r01 warm-up primed only the aknn codegen/worker path, and the first
+minhash run of a session pays ~5-9s of one-time codegen + Arrow-kernel
+setup (measured: first run 10.2s, second 1.2s, same session). Under
+the drift-robust equal-conditions protocol (one session, r1/r2/r3
+implementations alternated 4x — BENCH/MINHASH.md) the medians are
+r1 1.15s / r2 0.81s / r3 0.85s: r2/r3 are FASTER than r1. The warm-up
+below now primes every measured path so per-query timings measure the
+engine, per this bench's stated intent.
 """
 
 from __future__ import annotations
@@ -47,13 +58,22 @@ def main() -> None:
     n_images = max(1000, li_rows // 6)
 
     # warm-up: compile codegen paths + spin the Python worker pool so
-    # per-query timings measure the engine, not JVM/worker cold start
+    # per-query timings measure the engine, not JVM/worker cold start —
+    # one tiny run of EVERY measured kernel family (aknn cogroup sweep,
+    # minhash HOF+mapInArrow, ann ball-probe cogroups); see the r03
+    # cross-round note above
+    from spark_aknn.pipeline.ann import all_pairs_l2_topk
+    from spark_aknn.pipeline.dedup import minhash_dedup_pairs
     from spark_aknn.points import lcg_x, lcg_y
 
     wpts = spark.range(2000).select(
         (F.col("id") + 1).alias("id"), lcg_x(F.col("id")).alias("x"), lcg_y(F.col("id")).alias("y")
     )
     all_knn_join(wpts, wpts, k=5, num_stripes=max(2, cpus)).count()
+    wdocs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    minhash_dedup_pairs(wdocs, threshold=0.5).count()
+    wemb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    all_pairs_l2_topk(wemb, k=3, num_centroids=4).count()
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
