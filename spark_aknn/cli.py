@@ -53,13 +53,35 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--num-stripes", type=int, default=0, help="0 = auto (sqrt(|T|/k), the reference formula)")
     p.add_argument("--salt-factor", type=float, default=4.0)
-    p.add_argument("--output", required=True, help="parquet output path")
+    p.add_argument("--output", required=True, help="parquet output path (or .bin/.txt with --convert)")
+    p.add_argument(
+        "--convert", action="store_true",
+        help="dataset-multiplier mode (DatasetMultiplier/main.cpp): apply "
+        "--factor to --input and write --output in the format its extension "
+        "names (.bin = packed binary, else text) instead of running a query",
+    )
+    p.add_argument(
+        "--factor", type=int, default=1, choices=[-2, -1, 1, 2, 4],
+        help="--convert multiplier factor; 1 = copy/format-convert",
+    )
     p.add_argument("--workdir", help="checkpoint dir -> resumable per-batch execution")
     p.add_argument("--metrics", help="write run metrics JSON here")
     p.add_argument("--cpus", type=int, default=None, help="local[N] size (ignored under spark-submit)")
     args = p.parse_args(argv)
 
     spark = get_spark("spark_aknn_cli", cpus=args.cpus)
+    if args.convert:
+        from spark_aknn.multiplier import multiply
+        from spark_aknn.sources import read_points_any, write_points_any
+
+        if not args.input:
+            raise SystemExit("--convert requires --input")
+        pts = multiply(read_points_any(spark, args.input), args.factor)
+        # reference precision rule (main.cpp:133-136): downsampling -> 10
+        n = write_points_any(pts, args.output, precision=10 if args.factor < 0 else 8)
+        print(json.dumps({"converted_rows": n, "factor": args.factor}), file=sys.stderr)
+        spark.stop()
+        return
     metrics = RunMetrics()
     if args.synthetic:
         pts = spark.range(args.synthetic).select(

@@ -1,6 +1,9 @@
-"""Dataset multiplier — scale a point table ×4 / ×2 / ÷2.
+"""Dataset multiplier — scale a point table ×4 / ×2 / ÷2, or copy (×1).
 
 Re-expresses /root/reference/DatasetMultiplier/main.cpp exactly:
+  * ×1 (main.cpp:64-69): identity copy — ids and coordinates pass
+    through unchanged; the CLI uses it for text<->binary format
+    conversion (target format chosen by extension, main.cpp:125-137).
   * ×4 (write_output_points, factor 4, main.cpp:70-89): halve both
     coordinates, replicate into the four quadrants in the reference's id
     order — 4*pos+1 -> (x/2, y/2), 4*pos+2 -> (x/2, 0.5+y/2),
@@ -71,3 +74,19 @@ def sample_half_odd(points: DataFrame) -> DataFrame:
     return points.filter(F.col("id") % 2 == 1).select(
         ((F.col("id") + 1) / 2).cast("long").alias("id"), "x", "y"
     )
+
+
+def convert(points: DataFrame) -> DataFrame:
+    """Factor 1: identity pass-through (main.cpp:64-69) — ids and
+    coordinates unchanged; pairs with a differently-formatted sink for
+    the reference's text<->binary conversion use."""
+    return points.select("id", "x", "y")
+
+
+def multiply(points: DataFrame, factor: int) -> DataFrame:
+    """The reference CLI's factor dispatch (main.cpp:116-121: only
+    -2, -1, 1, 2, 4 are legal)."""
+    ops = {-2: sample_half_odd, -1: sample_half, 1: convert, 2: multiply_x2, 4: multiply_x4}
+    if factor not in ops:
+        raise ValueError("Factor argument must be equal to -2, -1, 1, 2 or 4")
+    return ops[factor](points)

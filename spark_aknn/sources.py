@@ -127,6 +127,18 @@ def write_points_text(df: DataFrame, path: str, precision: int = 8) -> int:
     return n
 
 
+def write_points_any(df: DataFrame, path: str, precision: int = 8) -> int:
+    """Sink-side extension dispatch, the reference's isBinaryTarget
+    check (DatasetMultiplier/main.cpp:125-137): `.bin` -> count-headered
+    packed binary, anything else -> fixed-precision text. Parquet is
+    deliberately NOT reachable here — this mirrors the reference
+    converter's two-format surface; use df.write.parquet for the scale
+    path."""
+    if path.endswith(".bin"):
+        return write_points_bin(df, path)
+    return write_points_text(df, path, precision=precision)
+
+
 def write_points_bin(df: DataFrame, path: str) -> int:
     """Reference binary twin (count header + packed structs,
     DatasetGenerator/main.cpp:35-44). Driver stream — golden/test

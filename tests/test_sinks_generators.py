@@ -186,3 +186,29 @@ def test_text_source_space_separated(spark, tmp_path):
     assert list(got.id) == [1, 2, 3]
     assert list(got.x) == [0.25, 0.5, 0.125]
     assert list(got.y) == [0.75, 0.5, 0.875]
+
+
+def test_points_from_phash_collision_free_ids(spark):
+    """Point ids from the image corpus must be collision-free (r2
+    verdict #5: xxhash64 ids birthday-collide ~10^4 times at 10^12
+    images, silently merging neighbor lists). `numeric` parses the
+    serialized key -> dense deterministic ids; a digitless key fails
+    loudly; `rowid` is unique-by-construction for arbitrary keys."""
+    import pytest
+
+    from spark_aknn.points import points_from_phash
+    from spark_aknn.tables import images_table
+
+    imgs = images_table(spark, 64)
+    pts = points_from_phash(imgs).toPandas().sort_values("id")
+    assert list(pts.id) == list(range(1, 65))  # img_%012d serials are 0-based
+    assert list(pts.point_key) == [f"img_{i:012d}" for i in range(64)]
+
+    bad = spark.createDataFrame(
+        [("img_007", 11), ("no-digits-here", 22)], "image_id string, phash long"
+    )
+    with pytest.raises(Exception, match="no trailing integer serial"):
+        points_from_phash(bad).collect()
+
+    rid = points_from_phash(bad, id_strategy="rowid").toPandas()
+    assert rid.id.nunique() == 2 and (rid.id >= 1).all()

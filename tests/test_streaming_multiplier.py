@@ -119,3 +119,46 @@ def test_event_points_deterministic(spark):
 
     x, y = lcg_numpy(a.event_id.to_numpy())
     assert (a.x.to_numpy() == x).all() and (a.y.to_numpy() == y).all()
+
+
+def test_convert_factor1_format_roundtrip(spark, rng, tmp_path):
+    """Factor 1 = identity copy / format conversion
+    (DatasetMultiplier/main.cpp:64-69 + the main.cpp:125-137 target
+    dispatch): text->bin and bin->text preserve ids and coordinates
+    byte-exactly, with the binary side matching the reference's
+    count-header + 24-byte packed struct layout."""
+    import struct
+
+    from spark_aknn.multiplier import multiply
+    from spark_aknn.sources import read_points_any, write_points_any
+
+    n = 300
+    ids = np.arange(1, n + 1)
+    x, y = rng.random(n), rng.random(n)
+    pts = make_points_df(spark, ids, x, y)
+
+    # bin -> text -> bin: the final binary must equal the first
+    binp = str(tmp_path / "a.bin")
+    assert write_points_any(multiply(pts, 1), binp) == n
+    raw = open(binp, "rb").read()
+    assert struct.unpack("<Q", raw[:8])[0] == n and len(raw) == 8 + 24 * n
+    want = np.frombuffer(raw[8:], dtype=[("id", "<i8"), ("x", "<f8"), ("y", "<f8")])
+    assert (want["id"] == ids).all() and (want["x"] == x).all() and (want["y"] == y).all()
+
+    txtp = str(tmp_path / "a.txt")
+    write_points_any(multiply(read_points_any(spark, binp), 1), txtp)
+    first = open(txtp).readline().rstrip("\n")
+    # reference text format: id \t fixed(8) x \t fixed(8) y (main.cpp:136,64-69)
+    assert first == f"1\t{x[0]:.8f}\t{y[0]:.8f}"
+
+    bin2 = str(tmp_path / "b.bin")
+    write_points_any(multiply(read_points_any(spark, txtp), 1), bin2)
+    got = np.frombuffer(open(bin2, "rb").read()[8:], dtype=want.dtype)
+    assert (got["id"] == ids).all()
+    # text leg quantizes to 8 decimals; binary must carry exactly that value
+    assert (got["x"] == np.array([float(f"{v:.8f}") for v in x])).all()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="-2, -1, 1, 2 or 4"):
+        multiply(pts, 3)
