@@ -89,27 +89,41 @@ def main() -> None:
     timed("images_synth", lambda: imgs.count())
     ipts = points_from_phash(imgs).select("id", "x", "y").persist()
 
-    timed("aknn_images_k10", lambda: all_knn_join(ipts, ipts, k=K).count())
+    # equal-n uniform-key control for the image corpus (the r01 verdict's
+    # "within 2x at equal n" comparison — phash coordinates are clustered
+    # and duplicate-heavy, LCG keys are uniform). The slowdown ratio is
+    # drift-sensitive if each side runs once (this host's speed moves
+    # 2-6x over minutes: single-shot ratios have measured anywhere from
+    # 1.2 to 5.2 for the SAME engine), so the two sides run in tight
+    # alternation and the ratio is the median of per-alternation pairs —
+    # the committed BENCH/BASELINE.md protocol. Reported per-query time
+    # is best-of-runs (the steady-state engine number).
+    kpts = spark.range(n_images).select(
+        (F.col("id") + 1).alias("id"), lcg_x(F.col("id")).alias("x"), lcg_y(F.col("id")).alias("y")
+    ).persist()
+    kpts.count()
+    img_t, uni_t = [], []
+    for _ in range(3):
+        t0 = time.time()
+        all_knn_join(ipts, ipts, k=K).count()
+        img_t.append(time.time() - t0)
+        t0 = time.time()
+        all_knn_join(kpts, kpts, k=K).count()
+        uni_t.append(time.time() - t0)
+    kpts.unpersist()
+    timings["aknn_images_k10"] = round(min(img_t), 3)
+    timings["aknn_keys_samen_k10"] = round(min(uni_t), 3)
     extra["aknn_images_points_per_sec"] = round(n_images / timings["aknn_images_k10"], 1)
+    extra["aknn_keys_samen_points_per_sec"] = round(n_images / timings["aknn_keys_samen_k10"], 1)
+    ratios = sorted(i / u for i, u in zip(img_t, uni_t))
+    # odd alternation count: the true median, so one cold/contended pair
+    # cannot bias the ratio
+    extra["images_vs_uniform_slowdown"] = round(ratios[len(ratios) // 2], 2)
 
     timed("tile_assign_images", lambda: tile_histogram(ipts, TILE_T).count())
     extra["tile_assign_rows_per_sec"] = round(n_images / timings["tile_assign_images"], 1)
     imgs.unpersist()
     ipts.unpersist()
-
-    # equal-n uniform-key control for the image corpus (the r01 verdict's
-    # "within 2x at equal n" comparison — phash coordinates are clustered
-    # and duplicate-heavy, LCG keys are uniform)
-    kpts = spark.range(n_images).select(
-        (F.col("id") + 1).alias("id"), lcg_x(F.col("id")).alias("x"), lcg_y(F.col("id")).alias("y")
-    ).persist()
-    kpts.count()
-    timed("aknn_keys_samen_k10", lambda: all_knn_join(kpts, kpts, k=K).count())
-    kpts.unpersist()
-    extra["aknn_keys_samen_points_per_sec"] = round(n_images / timings["aknn_keys_samen_k10"], 1)
-    extra["images_vs_uniform_slowdown"] = round(
-        timings["aknn_images_k10"] / timings["aknn_keys_samen_k10"], 2
-    )
 
     # -- TPC-H-derived point tables (larger joins)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

@@ -156,9 +156,61 @@ def build_grid(
     return grid
 
 
-def cells_df(spark: SparkSession, grid: Grid) -> DataFrame:
+def stripe_margins(grid: Grid, margin_factor: float) -> tuple[list[float], list[float], list[float]]:
+    """Driver-side per-stripe margin widths for overlap replication.
+
+    Returns (below, above, radius), each indexed by stripe:
+      * ``radius[s]`` — the margin length scale of stripe s:
+        margin_factor x its height (median height for the +/-inf edge
+        stripes). Equal-count stripe heights track local density, so the
+        margin adapts: narrow stripes in dense regions get small
+        margins, exactly where kth-radii are small (the reference sizes
+        stripes so the expected kth radius ~ 0.56 x height for uniform
+        data, AllKnnResultStripes.h:141-151 via the sqrt(|T|/k) count).
+      * ``below[s]`` / ``above[s]`` — the import-zone widths actually
+        guaranteed: radius clipped to the immediate neighbor's height,
+        so every imported point lives in an adjacent stripe and
+        replication is bounded by 3 copies.
+    """
+    S = grid.num_stripes
+    h = [grid.y_splits[i + 1] - grid.y_splits[i] for i in range(S)]
+    finite = sorted(v for v in h if v != POS_INF and v > 0)
+    med = finite[len(finite) // 2] if finite else 0.0
+    radius = [margin_factor * (v if (v != POS_INF and v > 0) else med) for v in h]
+    below = [0.0] * S
+    above = [0.0] * S
+    for s in range(S):
+        if s >= 1:
+            below[s] = min(radius[s], h[s - 1])
+        if s + 1 < S:
+            above[s] = min(radius[s], h[s + 1])
+    return below, above, radius
+
+
+def cells_df(spark: SparkSession, grid: Grid, margin_factor: float = 0.0) -> DataFrame:
+    """Broadcastable cell table. Columns m_ylo/m_yhi/m_xlo/m_xhi are the
+    MARGIN-EXPANDED rectangle each cell's training is guaranteed to
+    cover under assign_cells_margin(margin_factor) — the escape test
+    must use these; frontier targeting keeps the original bounds (stage
+    2's training side is home-assigned, not replicated)."""
+    if margin_factor <= 0:
+        rows = [(*c, c[2], c[3], c[4], c[5]) for c in grid.cells()]
+    else:
+        below, above, radius = stripe_margins(grid, margin_factor)
+        rows = []
+        for (s, j, ylo, yhi, xlo, xhi) in grid.cells():
+            dx = radius[s]
+            rows.append((
+                s, j, ylo, yhi, xlo, xhi,
+                ylo - below[s] if ylo != NEG_INF else NEG_INF,
+                yhi + above[s] if yhi != POS_INF else POS_INF,
+                xlo - dx if xlo != NEG_INF else NEG_INF,
+                xhi + dx if xhi != POS_INF else POS_INF,
+            ))
     return spark.createDataFrame(
-        grid.cells(), "stripe_id int, sub_id int, ylo double, yhi double, xlo double, xhi double"
+        rows,
+        "stripe_id int, sub_id int, ylo double, yhi double, xlo double, xhi double, "
+        "m_ylo double, m_yhi double, m_xlo double, m_xhi double",
     )
 
 
@@ -188,3 +240,83 @@ def assign_cells(df: DataFrame, grid: Grid) -> DataFrame:
             )
         ),
     ).drop("xbounds")
+
+
+def _sub_fold(x, bounds):
+    """#inner x-splits <= x — the sub_id binary-search fold."""
+    return F.aggregate(
+        bounds, F.lit(0), lambda acc, b: acc + F.when(x >= b, F.lit(1)).otherwise(F.lit(0))
+    )
+
+
+def assign_cells_margin(df: DataFrame, grid: Grid, margin_factor: float) -> DataFrame:
+    """Cell assignment with OVERLAP: each point lands in its home cell
+    plus every neighbor cell within that cell's margin (stripe_margins).
+
+    This is the Spark-native replacement for the reference's cross-
+    stripe sweep (PlaneSweepStripesAlgorithm.h:77-110 walks stripes
+    s+/-1, s+/-2 ... per point until the kth bound is covered): with the
+    stripe height ~ the expected kth radius, ~98% of queries' kth
+    circles cross a stripe boundary, so walking neighbors PER QUERY on
+    Spark means a corpus-sized boundary exchange + rank merge (measured
+    4-5x the stage-1 cost). Replicating training into the margin up
+    front moves that work into the stage-1 cogroup, whose shuffle
+    scales; the exact stage-2 exchange remains for the tail whose kth
+    radius exceeds the margin. Replication cost is bounded: <= 3
+    stripes x the x-sub span, ~2.5x rows at margin_factor=0.9 on
+    uniform data.
+
+    Use for the TRAINING side only; query points keep assign_cells.
+    """
+    if margin_factor <= 0:
+        return assign_cells(df, grid)
+    spark = df.sparkSession
+    S = grid.num_stripes
+    if S <= 1 and not grid.x_splits:
+        return assign_cells(df, grid)
+    below, above, radius = stripe_margins(grid, margin_factor)
+    # per HOME stripe: replicate up iff y >= up_t (the importer's
+    # below-zone), down iff y < dn_t (the importer's above-zone)
+    marg = spark.createDataFrame(
+        [
+            (
+                s,
+                grid.y_splits[s + 1] - below[s + 1] if s + 1 < S else POS_INF,
+                grid.y_splits[s] + above[s - 1] if s >= 1 else NEG_INF,
+            )
+            for s in range(S)
+        ],
+        "stripe_id int, up_t double, dn_t double",
+    )
+    out = assign_stripes(df, grid.y_splits, col="y", out="stripe_id")
+    out = out.join(F.broadcast(marg), "stripe_id", "left")
+    targets = F.array_compact(
+        F.array(
+            F.col("stripe_id"),
+            F.when(F.col("y") >= F.col("up_t"), F.col("stripe_id") + 1),
+            F.when(F.col("y") < F.col("dn_t"), F.col("stripe_id") - 1),
+        )
+    )
+    out = (
+        out.withColumn("stripe_id", F.explode(targets))
+        .drop("up_t", "dn_t")
+    )
+    if not grid.x_splits:
+        return out.withColumn("sub_id", F.lit(0))
+    # x-sub span within the TARGET stripe: the margin is a radius, so the
+    # x half-width is the same per-stripe length scale
+    bounds = spark.createDataFrame(
+        [(s, v, radius[s]) for s, v in grid.x_splits.items()],
+        "stripe_id int, xbounds array<double>, dx double",
+    )
+    out = out.join(F.broadcast(bounds), "stripe_id", "left")
+    lo = F.when(F.col("xbounds").isNull(), F.lit(0)).otherwise(
+        _sub_fold(F.col("x") - F.col("dx"), F.col("xbounds"))
+    )
+    hi = F.when(F.col("xbounds").isNull(), F.lit(0)).otherwise(
+        _sub_fold(F.col("x") + F.col("dx"), F.col("xbounds"))
+    )
+    return (
+        out.withColumn("sub_id", F.explode(F.sequence(lo, hi)))
+        .drop("xbounds", "dx")
+    )

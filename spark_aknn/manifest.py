@@ -33,7 +33,7 @@ from spark_aknn.aknn import (
     stage2_exchange,
     with_escape_flag,
 )
-from spark_aknn.grid import Grid, assign_cells, build_grid, cells_df
+from spark_aknn.grid import Grid, assign_cells, assign_cells_margin, build_grid, cells_df
 from spark_aknn.stripes import auto_num_stripes
 
 
@@ -76,6 +76,7 @@ def checkpointed_aknn(
     num_stripes: int = 0,
     num_batches: int = 4,
     salt_factor: float = 4.0,
+    margin_factor: float = 0.9,
 ) -> DataFrame:
     """All-kNN join with per-batch checkpoint/resume under ``workdir``.
 
@@ -97,6 +98,15 @@ def checkpointed_aknn(
     cols = ["stripe_id", "sub_id", "id", "x", "y"]
     inp = assign_cells(input_points.select("id", "x", "y"), grid).select(*cols)
     trn = assign_cells(training_points.select("id", "x", "y"), grid).select(*cols)
+    # margin-replicated copy for stage 1 (cell-complete per batch: a
+    # replica's batch is decided by its TARGET stripe, so every batch
+    # job carries its own cells' full margin)
+    trn_s1 = (
+        assign_cells_margin(training_points.select("id", "x", "y"), grid, margin_factor)
+        .select(*cols)
+        if margin_factor > 0
+        else trn
+    )
 
     for b in range(num_batches):
         mpath = os.path.join(workdir, f"manifest_stage1_{b}.json")
@@ -104,7 +114,7 @@ def checkpointed_aknn(
             continue  # committed by a previous run — resume skips it
         t0 = time.time()
         sel = F.pmod(F.col("stripe_id"), F.lit(num_batches)) == b
-        out = stage1_local_topk(inp.filter(sel), trn.filter(sel), k)
+        out = stage1_local_topk(inp.filter(sel), trn_s1.filter(sel), k)
         path = os.path.join(workdir, f"stage1/batch={b}")
         out.write.mode("overwrite").parquet(path)
         stats = (
@@ -140,11 +150,13 @@ def checkpointed_aknn(
     result_path = os.path.join(workdir, "result")
     if not os.path.exists(final_manifest):
         t0 = time.time()
-        cells = cells_df(spark, grid)
+        cells = cells_df(spark, grid, margin_factor=margin_factor)
         flagged = with_escape_flag(stage1, cells)
         frontier = build_frontier(flagged, cells, grid)
-        stage2 = stage2_exchange(frontier, trn, k)
-        result = merge_topk(flagged, stage2, k)
+        touched = frontier.select("stripe_id", "sub_id").distinct()
+        trn_s2 = trn.join(F.broadcast(touched), ["stripe_id", "sub_id"], "left_semi")
+        stage2 = stage2_exchange(frontier, trn_s2, k)
+        result = merge_topk(flagged, stage2, k, dedup=margin_factor > 0)
         result.write.mode("overwrite").parquet(result_path)
         n = spark.read.parquet(result_path).count()
         _write_json_atomic(

@@ -29,8 +29,39 @@ from __future__ import annotations
 
 import numpy as np
 
-# Soft budget for the gather matrix, in float64 elements (256 MB).
-_ELEM_BUDGET = 32 * 1024 * 1024
+# Soft budget for one round's gather matrix, in float64 elements. Sized
+# so ALL the round's per-chunk temporaries (distance matrix, masks, sort
+# orders — ~10 arrays of chunk x 2w) stay L2-cache-resident: the kernel
+# is otherwise memory-bandwidth-bound streaming ~10 full-size
+# temporaries per round through DRAM (measured 1.4x wall-time on the
+# 3x10^6-point headline shape from this change alone; 16-24k elements is
+# the plateau, 1M+ is ~2x slower). Python-level chunk-loop overhead is
+# noise: ~400 queries per chunk at typical windows.
+_ELEM_BUDGET = 16 * 1024
+
+
+def _initial_window(tx: np.ndarray, ty: np.ndarray, n: int, k: int) -> int:
+    """Density-derived first window half-width.
+
+    The expected kth-neighbor radius in a cell with uniform density rho
+    is r = sqrt(k/(pi*rho)); the x-slab |dx| <= r then holds about
+    2*r*n/width training points. Starting there (x1.3 headroom) lets
+    ~90% of queries finish in ONE round instead of always paying a
+    too-narrow max(k,8) round first and redoing the work doubled (the
+    reference's cursor sweep grows per point and never re-scans,
+    PlaneSweepAlgorithm.h:30-158; this batched kernel pays per ROUND, so
+    the first guess matters). Falls back to max(k,8) for degenerate
+    extents (duplicate-heavy cells)."""
+    w_fallback = max(k, 8)
+    if n < 4 * w_fallback:
+        return w_fallback
+    width = tx[-1] - tx[0]
+    height = ty.max() - ty.min()
+    if not (np.isfinite(width) and np.isfinite(height)) or width <= 0 or height <= 0:
+        return w_fallback
+    r = np.sqrt(k * width * height / (np.pi * n))
+    w0 = int(np.ceil(1.3 * r * n / width))
+    return int(np.clip(w0, w_fallback, n))
 
 
 def window_topk(
@@ -66,7 +97,7 @@ def window_topk(
 
     pos = np.searchsorted(tx, qx).astype(np.int64)
     pending = np.arange(m)
-    w = max(k, 8)
+    w = _initial_window(tx, ty, n, k)
     while pending.size:
         w = min(w, n)  # window wider than the dataset is a full scan
         # chunk so the gather matrix stays under the element budget

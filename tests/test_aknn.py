@@ -253,3 +253,57 @@ def test_frontier_plan_has_no_nested_loop_join(spark, rng):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "BroadcastNestedLoopJoin" not in explained
+
+
+def test_margin_assignment_covers_expanded_rect(spark, rng):
+    """The exactness of the margin-replicated stage 1 rests on one
+    invariant: every cell's training must cover its margin-EXPANDED
+    rectangle (cells_df m_* bounds), because the escape test certifies
+    queries against exactly those bounds. Check it exhaustively on a
+    skewed grid (fused boundaries -> salted substripes) so both the
+    y-import and x-span legs are exercised."""
+    from spark_aknn.grid import assign_cells_margin, build_grid, cells_df
+
+    n = 800
+    y = np.where(rng.random(n) < 0.7, 0.5, rng.random(n))
+    x = _uniform(rng, n)
+    ids = np.arange(1, n + 1)
+    pts = make_points_df(spark, ids, x, y)
+    grid = build_grid(pts, 8, salt_factor=1.5)
+    assert grid.x_splits, "need substripes to exercise the x-margin leg"
+    for mf in (0.5, 0.9, 2.0):
+        assigned = assign_cells_margin(pts, grid, mf).toPandas()
+        cells = cells_df(spark, grid, margin_factor=mf).toPandas()
+        got = {
+            (s, j): set(g["id"])
+            for (s, j), g in assigned.groupby(["stripe_id", "sub_id"])
+        }
+        for c in cells.itertuples():
+            inside = ids[
+                (y >= c.m_ylo) & (y < c.m_yhi) & (x >= c.m_xlo) & (x < c.m_xhi)
+            ]
+            members = got.get((c.stripe_id, c.sub_id), set())
+            missing = set(inside) - members
+            assert not missing, (
+                f"cell ({c.stripe_id},{c.sub_id}) misses {sorted(missing)[:5]} "
+                f"inside its expanded rect"
+            )
+
+
+def test_margin_matches_margin_free(spark, rng):
+    """margin_factor only changes the physical plan; results must be
+    row-identical to the margin-free reference partitioning."""
+    n = 500
+    x, y = _uniform(rng, n), _uniform(rng, n)
+    ids = np.arange(1, n + 1)
+    pts = make_points_df(spark, ids, x, y)
+    base = (
+        all_knn_join(pts, pts, k=7, num_stripes=9, margin_factor=0.0)
+        .toPandas().sort_values(["input_id", "rank"]).reset_index(drop=True)
+    )
+    for mf in (0.4, 0.9, 3.0):
+        got = (
+            all_knn_join(pts, pts, k=7, num_stripes=9, margin_factor=mf)
+            .toPandas().sort_values(["input_id", "rank"]).reset_index(drop=True)
+        )
+        assert got.equals(base), f"margin_factor={mf} changed results"
