@@ -53,6 +53,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--num-stripes", type=int, default=0, help="0 = auto (sqrt(|T|/k), the reference formula)")
     p.add_argument("--salt-factor", type=float, default=4.0)
+    p.add_argument(
+        "--margin-factor", type=float, default=0.9,
+        help="training overlap margin as a fraction of stripe height; "
+        "0 = pure reference partitioning (full boundary exchange)",
+    )
     p.add_argument("--output", required=True, help="parquet output path (or .bin/.txt with --convert)")
     p.add_argument(
         "--convert", action="store_true",
@@ -99,11 +104,13 @@ def main(argv: list[str] | None = None) -> None:
             result = checkpointed_aknn(
                 spark, inp, trn, args.workdir, k=args.k,
                 num_stripes=args.num_stripes, salt_factor=args.salt_factor,
+                margin_factor=args.margin_factor,
             )
             result.write.mode("overwrite").parquet(args.output)
         else:
             result = all_knn_join(
-                inp, trn, k=args.k, num_stripes=args.num_stripes, salt_factor=args.salt_factor
+                inp, trn, k=args.k, num_stripes=args.num_stripes,
+                salt_factor=args.salt_factor, margin_factor=args.margin_factor,
             )
             result.write.mode("overwrite").parquet(args.output)
     metrics.counters["output_rows"] = spark.read.parquet(args.output).count()
