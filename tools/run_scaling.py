@@ -96,16 +96,23 @@ def mem_bw(procs: int) -> float:
     return sum(vals)
 
 
-def run_level(cpus: int, n: int) -> dict:
+def run_level(cpus: int, n: int, attempts: int = 2) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-    out = subprocess.run(
-        [sys.executable, "-c", JOB.format(repo=REPO, n=n)],
-        capture_output=True, text=True, env=env, timeout=1800,
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("JSONRESULT "):
-            return json.loads(line[len("JSONRESULT "):])
-    raise RuntimeError(f"no result at cpus={cpus}: {out.stderr[-2000:]}")
+    last = ""
+    for a in range(attempts):
+        out = subprocess.run(
+            [sys.executable, "-c", JOB.format(repo=REPO, n=n)],
+            capture_output=True, text=True, env=env, timeout=1800,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("JSONRESULT "):
+                return json.loads(line[len("JSONRESULT "):])
+        # transient worker deaths happen on this shared VM (socket reset
+        # under contention bursts); one retry keeps a 40-minute campaign
+        # from dying at its last alternation
+        last = out.stderr[-2000:]
+        print(f"level {cpus} attempt {a} produced no result, retrying", file=sys.stderr)
+    raise RuntimeError(f"no result at cpus={cpus}: {last}")
 
 
 def main() -> None:
