@@ -211,8 +211,18 @@ def main() -> None:
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # everything below the history marker is hand-maintained context
+    # (cross-session/cross-round evidence) — preserve it across reruns
+    appendix = ""
+    marker = "<!-- history -->"
+    if os.path.exists(path):
+        old = open(path).read()
+        if marker in old:
+            appendix = old[old.index(marker):]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
+        if appendix:
+            f.write("\n" + appendix)
     print(f"wrote {path}")
 
 
