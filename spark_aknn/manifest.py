@@ -48,19 +48,41 @@ def _grid_path(workdir: str) -> str:
     return os.path.join(workdir, "grid.json")
 
 
-def save_grid(workdir: str, grid: Grid) -> None:
+def save_grid(workdir: str, grid: Grid, params: dict | None = None) -> None:
     _write_json_atomic(
         _grid_path(workdir),
-        {"y_splits": grid.y_splits, "x_splits": {str(k): v for k, v in grid.x_splits.items()}},
+        {
+            "y_splits": grid.y_splits,
+            "x_splits": {str(k): v for k, v in grid.x_splits.items()},
+            "params": params or {},
+        },
     )
 
 
-def load_grid(workdir: str) -> Grid | None:
+def load_grid(workdir: str, params: dict | None = None) -> Grid | None:
+    """Load a committed grid; when ``params`` is given, validate it
+    against the parameters the workdir was committed under and fail
+    loudly on ANY mismatch (r3 ADVICE medium): stage-1 batches written
+    under one (k, margin_factor, num_batches) are NOT reusable under
+    another — resuming them would certify queries against margin bounds
+    whose replicated training was never present, silently producing
+    wrong neighbor lists. A pre-params workdir (older layout) is treated
+    as mismatching for the same reason.
+    """
     p = _grid_path(workdir)
     if not os.path.exists(p):
         return None
     with open(p) as f:
         raw = json.load(f)
+    if params is not None:
+        committed = raw.get("params")
+        if committed != params:
+            raise ValueError(
+                f"checkpoint workdir {workdir!r} was committed with params "
+                f"{committed!r} but this run requests {params!r}; stage-1 "
+                "batches are not reusable across differing k/margin_factor/"
+                "num_batches — use a fresh workdir (or delete this one)"
+            )
     return Grid(
         y_splits=[float(v) for v in raw["y_splits"]],
         x_splits={int(k): v for k, v in raw["x_splits"].items()},
@@ -85,7 +107,16 @@ def checkpointed_aknn(
     skips every batch whose manifest exists.
     """
     os.makedirs(workdir, exist_ok=True)
-    grid = load_grid(workdir)
+    # every parameter that changes what a committed stage-1 batch MEANS;
+    # validated against the workdir on resume (r3 ADVICE medium)
+    params = {
+        "k": k,
+        "num_stripes_requested": num_stripes,
+        "num_batches": num_batches,
+        "salt_factor": salt_factor,
+        "margin_factor": margin_factor,
+    }
+    grid = load_grid(workdir, params=params)
     if grid is None:
         from spark_aknn.grid import count_and_quantile_sketch
 
@@ -93,7 +124,7 @@ def checkpointed_aknn(
         if num_stripes <= 0:
             num_stripes = auto_num_stripes(n_t, k, spark.sparkContext.defaultParallelism)
         grid = build_grid(training_points, num_stripes, salt_factor=salt_factor, sketch=sketch)
-        save_grid(workdir, grid)
+        save_grid(workdir, grid, params=params)
 
     cols = ["stripe_id", "sub_id", "id", "x", "y"]
     inp = assign_cells(input_points.select("id", "x", "y"), grid).select(*cols)

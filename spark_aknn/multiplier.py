@@ -31,6 +31,14 @@ from pyspark.sql import functions as F
 _QUADRANTS = [(0.0, 0.0), (0.0, 0.5), (0.5, 0.0), (0.5, 0.5)]
 
 
+def _idiv2(col: F.Column) -> F.Column:
+    """Integer halve a long column. `col / 2` promotes to double and
+    loses the low bits above 2^53 (ids at the 10^12 design point after a
+    few x4 rounds exceed that); shiftright is a pure bit op on the long,
+    exact for all non-negative ids."""
+    return F.shiftright(col.cast("long"), 1)
+
+
 def _expand_quadrants(points: DataFrame, pos: F.Column) -> DataFrame:
     """4 points per row: new id = 4*pos + q + 1, reference id order."""
     parts = []
@@ -58,21 +66,21 @@ def multiply_x2(points: DataFrame) -> DataFrame:
     main.cpp:205), each expanded into all four quadrants with survivor
     position j = id/2 - 1 (so new ids are dense 1..2n)."""
     survivors = points.filter(F.col("id") % 2 == 0)
-    return _expand_quadrants(survivors, (F.col("id") / 2 - 1).cast("long"))
+    return _expand_quadrants(survivors, _idiv2(F.col("id")) - 1)
 
 
 def sample_half(points: DataFrame) -> DataFrame:
     """Factor -1: positions i%2==1 (even dense ids), renumbered densely
     (main.cpp:169 with write_output_points pos+1)."""
     return points.filter(F.col("id") % 2 == 0).select(
-        (F.col("id") / 2).cast("long").alias("id"), "x", "y"
+        _idiv2(F.col("id")).alias("id"), "x", "y"
     )
 
 
 def sample_half_odd(points: DataFrame) -> DataFrame:
     """Factor -2: positions i%2==0 (odd dense ids), renumbered densely."""
     return points.filter(F.col("id") % 2 == 1).select(
-        ((F.col("id") + 1) / 2).cast("long").alias("id"), "x", "y"
+        _idiv2(F.col("id") + 1).alias("id"), "x", "y"
     )
 
 

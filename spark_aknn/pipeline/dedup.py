@@ -177,8 +177,10 @@ def minhash_signatures(
             # empty — with_shingle_hashes guarantees >= 1 element per doc
             # (null/empty text maps to the [''] shingle); fail loudly if
             # a future change breaks that invariant instead of silently
-            # corrupting signatures.
-            assert (offs64[1:] > offs64[:-1]).all(), "empty shingle list in batch"
+            # corrupting signatures. ValueError, not assert: asserts are
+            # stripped under `python -O` (r3 ADVICE).
+            if not (offs64[1:] > offs64[:-1]).all():
+                raise ValueError("empty shingle list in minhash batch")
             with np.errstate(over="ignore"):
                 # minima are taken in the UNSIGNED domain (the natural
                 # order of the 64-bit hash values, and what the DuckDB
@@ -492,13 +494,18 @@ def _band_chunks(bands: int) -> list[tuple[int, int]]:
 
 
 def _flip_masks(width: int, e: int) -> list[int]:
-    """All XOR masks of popcount <= e over `width` bits (e <= 2)."""
+    """All XOR masks of popcount <= e over `width` bits (e <= 2), as
+    SIGNED 64-bit values: a width-64 chunk's high-bit masks (e.g.
+    1 << 63) exceed the long literal range, so they are emitted as their
+    two's-complement reading — the identical bit pattern the JVM XOR
+    sees (r3 ADVICE: the unsigned form made F.lit(...).cast('long')
+    either throw or produce NULL join keys that silently drop pairs)."""
     masks = [0]
     if e >= 1:
         masks += [1 << i for i in range(width)]
     if e >= 2:
         masks += [(1 << i) | (1 << j) for i in range(width) for j in range(i + 1, width)]
-    return masks
+    return [mv - (1 << 64) if mv >= (1 << 63) else mv for mv in masks]
 
 
 def _comb_le(w: int, e: int) -> int:

@@ -98,11 +98,15 @@ def points_from_phash(
     )
     if id_strategy == "numeric":
         serial = F.regexp_extract(F.col("point_key").cast("string"), r"(\d+)\s*$", 1)
-        pid = F.when(serial != "", serial.cast("long") + 1).otherwise(
+        # length <= 18 keeps serial.cast('long') exact (10^18 < 2^63);
+        # a longer serial would overflow to NULL under non-ANSI SQL and
+        # silently merge neighbor lists — route it to the loud failure
+        # alongside the no-digits case (r3 ADVICE)
+        pid = F.when((serial != "") & (F.length(serial) <= 18), serial.cast("long") + 1).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit("points_from_phash(id_strategy='numeric'): key has no "
-                          "trailing integer serial: "),
+                          "trailing integer serial (or serial > 18 digits): "),
                     F.col("point_key"),
                 )
             ).cast("long")

@@ -467,6 +467,37 @@ def test_simhash_multi_index_exact(spark):
     assert got_set == exp_set
 
 
+def test_simhash_single_chunk_signed_masks(spark):
+    """m=1 (one 64-bit chunk — the cost-model crossover at max_hamming=4,
+    n ~ 1.6e10) enumerates flip masks over the FULL word; high-bit masks
+    (1<<63) must be emitted as signed two's-complement or the join keys
+    go NULL and high-bit pairs silently vanish (r3 ADVICE)."""
+    from spark_aknn.pipeline.dedup import _flip_masks, multi_index_params, simhash_near_dup_pairs
+
+    m, e = multi_index_params(4, 20_000_000_000)
+    assert m == 1 and e == 2  # pigeonhole: floor(4/1) <= 2e
+    masks = _flip_masks(64, 2)
+    assert all(-(1 << 63) <= mv < (1 << 63) for mv in masks)
+    assert (-(1 << 63)) in masks  # the 1<<63 single-bit flip, signed
+    def s64(v):  # signed two's-complement reading of a 64-bit pattern
+        v &= (1 << 64) - 1
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    base = -(1 << 62)  # high bits set
+    fps = [
+        (1, base),
+        (2, s64(base ^ (1 << 63))),      # distance 1, via the top bit
+        (3, s64(base ^ ((1 << 63) | (1 << 62) | (1 << 61) | (1 << 60)))),  # distance 4
+        (4, s64(base ^ 0b11111)),        # distance 5 — outside the radius
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in fps], "doc_id long, simhash long")
+    got = simhash_near_dup_pairs(df, max_hamming=4, n_hint=20_000_000_000).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(got.a, got.b)}
+    assert (1, 2) in found and (1, 3) in found
+    assert (1, 4) not in found
+    assert (2, 3) in found  # distance 3
+
+
 def test_multi_index_params_cover_radius():
     """Any (m, e) the model returns must satisfy the pigeonhole coverage
     rule floor(h/m) <= 2e — otherwise the join would miss pairs."""

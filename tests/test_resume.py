@@ -68,3 +68,31 @@ def test_grid_persisted_and_reloaded(spark, rng, tmp_path):
     g = load_grid(wd)
     assert g is not None and g.num_stripes >= 1
     assert g.y_splits[0] == float("-inf") and g.y_splits[-1] == float("inf")
+
+
+def test_resume_rejects_mismatched_params(spark, rng, tmp_path):
+    """Stage-1 batches committed under one (k, margin_factor, ...) must
+    not be silently reused under another (r3 ADVICE medium): that would
+    certify queries against margin bounds whose replicated training was
+    never present — wrong neighbor lists with no error."""
+    import pytest
+
+    wd = str(tmp_path / "ckpt3")
+    pts = _mk(spark, rng, 200)
+    checkpointed_aknn(spark, pts, pts, wd, k=3, num_batches=2)
+    for kwargs in (
+        {"k": 5, "num_batches": 2},
+        {"k": 3, "num_batches": 2, "margin_factor": 0.0},
+        {"k": 3, "num_batches": 3},
+    ):
+        with pytest.raises(ValueError, match="not reusable"):
+            checkpointed_aknn(spark, pts, pts, wd, **kwargs)
+    # pre-params workdir (older layout): treated as mismatching
+    gp = os.path.join(wd, "grid.json")
+    with open(gp) as f:
+        raw = json.load(f)
+    raw.pop("params")
+    with open(gp, "w") as f:
+        json.dump(raw, f)
+    with pytest.raises(ValueError, match="not reusable"):
+        checkpointed_aknn(spark, pts, pts, wd, k=3, num_batches=2)

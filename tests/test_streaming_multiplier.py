@@ -62,6 +62,27 @@ def test_multiplier(spark, rng):
     assert len(ho) == len(wantho) and all((r.x, r.y) == wantho[r.id] for _, r in ho.iterrows())
 
 
+def test_multiplier_huge_ids_integer_exact(spark):
+    """Renumbering must be integer-exact above 2^53 (r3 verdict What's-
+    wrong #2): the old `id / 2` double division rounded the low bits of
+    huge ids, colliding or shifting renumbered ids. Ids straddle 2^53
+    and approach 2^61 (the x4 headroom limit)."""
+    base = np.array(
+        [2**53 - 4, 2**53 - 3, 2**53 + 2, 2**53 + 3, 2**57 + 8, 2**61 - 10, 2**61 - 9],
+        dtype=np.int64,
+    )
+    pts = make_points_df(spark, base, np.linspace(0.1, 0.7, len(base)), np.linspace(0.2, 0.8, len(base)))
+    h = sample_half(pts).toPandas().sort_values("id")
+    even = base[base % 2 == 0]
+    assert list(h.id) == [int(v) // 2 for v in even]
+    ho = sample_half_odd(pts).toPandas().sort_values("id")
+    odd = base[base % 2 == 1]
+    assert list(ho.id) == [(int(v) + 1) // 2 for v in odd]
+    x2 = multiply_x2(pts).toPandas().sort_values("id")
+    want = sorted(4 * (int(v) // 2 - 1) + q + 1 for v in even for q in range(4))
+    assert list(x2.id) == want
+
+
 def test_stream_tile_counts_matches_batch(spark, tmp_path):
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     # batch expectation with identical expressions
