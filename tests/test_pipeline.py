@@ -126,6 +126,89 @@ def test_ann_exact_matches_numpy(emb):
         assert (sub.neighbor_id.values == ids[order]).all()
 
 
+def test_auto_num_centroids_policy():
+    from spark_aknn.pipeline.ann import _TARGET_BUCKET_ROWS, auto_num_centroids
+
+    assert auto_num_centroids(1000) == 16  # floor
+    assert auto_num_centroids(100 * _TARGET_BUCKET_ROWS) == 100
+    assert auto_num_centroids(100 * _TARGET_BUCKET_ROWS + 1) == 101
+    # 100x corpus -> ~100x buckets: per-bucket rows stay ~constant
+    n = 10**9
+    assert abs(auto_num_centroids(n) * _TARGET_BUCKET_ROWS / n - 1.0) < 0.01
+
+
+def test_salted_buckets_results_unchanged(emb):
+    """Force sub-splitting on small data (tiny target_bucket_rows): the
+    exact operators must return bit-identical results with the salted
+    layout engaged, and the plan must actually have split (the grid-
+    salting analogue the r3 verdict prescribed)."""
+    from spark_aknn.pipeline.ann import (
+        all_pairs_l2_topk,
+        embedding_near_dup_pairs,
+        ivf_topk,
+    )
+
+    base = (
+        all_pairs_l2_topk(emb, k=5, num_centroids=4)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    salted = (
+        all_pairs_l2_topk(emb, k=5, num_centroids=4, target_bucket_rows=40)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert base.equals(salted)
+
+    p_base = (
+        embedding_near_dup_pairs(emb, 1.35, num_centroids=4)
+        .toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    p_salt = (
+        embedding_near_dup_pairs(emb, 1.35, num_centroids=4, target_bucket_rows=40)
+        .toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert p_base.equals(p_salt) and len(p_base) > 0
+
+    # IVF: a probed parent expands to ALL its subs, so recall is
+    # unchanged by salting — identical result sets at the same params
+    iv_base = (
+        ivf_topk(emb, k=5, num_centroids=4, nprobe=2)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    iv_salt = (
+        ivf_topk(emb, k=5, num_centroids=4, nprobe=2, target_bucket_rows=40)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert iv_base.equals(iv_salt)
+
+
+def test_salted_plan_splits_hot_buckets(emb):
+    """The plan itself: per-sub-bucket membership is bounded near the
+    target and every parent above tolerance got split."""
+    from pyspark.sql import functions as F
+
+    from spark_aknn.pipeline.ann import (
+        _assign_home,
+        _salted_buckets,
+        train_centroids,
+    )
+
+    spark = emb.sparkSession
+    cmat = train_centroids(emb, 4)
+    bc = spark.sparkContext.broadcast(cmat)
+    assigned = _assign_home(emb, bc, "vec_id", "embedding").persist()
+    try:
+        members, plan = _salted_buckets(assigned, 4, "vec_id", target_bucket_rows=40)
+        assert plan.num_global > 4  # something split
+        counts = members.groupBy("gbucket").agg(F.count(F.lit(1)).alias("c")).toPandas()
+        # xxhash salting is approximately uniform: no sub-bucket should
+        # exceed ~3x target even on this small corpus
+        assert counts.c.max() <= 3 * 40
+        # radii are per-sub and positive where members exist
+        assert (plan.radii_g[counts.gbucket.to_numpy()] >= 0).all()
+    finally:
+        assigned.unpersist()
+
+
 def test_ivf_recall(emb):
     from spark_aknn.pipeline.ann import all_pairs_l2_topk, ivf_topk
 
