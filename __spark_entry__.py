@@ -66,6 +66,15 @@ def q_aknn_part_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_aknn_customer_self_k30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=30 variant (the reference's run_syntheticdata3.cmd:1 k=30
+    precedent): the auto stripe formula sqrt(|T|/k) and the margin
+    radius both depend on k, so this exercises a materially different
+    grid than k=10."""
+    p = _pts(spark, sf_dir, "customer")
+    return all_knn_join(p, p, k=30)
+
+
 def q_aknn_supplier_lineitem_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-query x big-training with k=3 — exercises the two-table
     path with unbalanced sides."""
@@ -228,6 +237,7 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "aknn_customer_self": q_aknn_customer_self,
+        "aknn_customer_self_k30": q_aknn_customer_self_k30,
         "aknn_part_orders": q_aknn_part_orders,
         "aknn_supplier_lineitem_k3": q_aknn_supplier_lineitem_k3,
         "radius_count_customer_orders": q_radius_count_customer_orders,
@@ -280,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
     d_emb = _l2_unrolled("a.embedding", "b.embedding")
     return {
         "aknn_customer_self": _aknn_oracle(_pts_cte("customer"), _pts_cte("customer"), K),
+        "aknn_customer_self_k30": _aknn_oracle(_pts_cte("customer"), _pts_cte("customer"), 30),
         "aknn_part_orders": _aknn_oracle(_pts_cte("part"), _pts_cte("orders"), K),
         "aknn_supplier_lineitem_k3": _aknn_oracle(
             _pts_cte("supplier"),

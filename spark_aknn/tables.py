@@ -19,7 +19,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_aknn.media import average_phash, encode_raw, synth_pixels
+from spark_aknn.media import (
+    average_phash,
+    decode_jpeg_lite,
+    encode_jpeg_lite,
+    encode_raw,
+    synth_pixels,
+)
 
 IMAGES_SCHEMA = (
     "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
@@ -71,8 +77,18 @@ def images_table(
             bufs, hashes = [], []
             for rid, w, h in zip(pdf["id"], pdf["w"], pdf["h"]):
                 arr = synth_pixels(int(rid), int(w), int(h))
-                bufs.append(encode_raw(arr))
-                hashes.append(average_phash(arr))
+                if fmt == "jpeg_lite":
+                    buf = encode_jpeg_lite(arr)
+                    bufs.append(buf)
+                    # phash of the DECODED pixels: the stored hash must
+                    # match what a downstream decode reproduces (the
+                    # decode_ok invariant), and lossy decode != source
+                    hashes.append(average_phash(decode_jpeg_lite(buf)))
+                elif fmt == "raw":
+                    bufs.append(encode_raw(arr))
+                    hashes.append(average_phash(arr))
+                else:
+                    raise ValueError(f"images_table cannot encode fmt {fmt!r}")
             out = pdf[["image_id", "w", "h", "fmt", "caption"]].copy()
             out.insert(1, "bytes", bufs)
             out["phash"] = pd.Series(hashes, dtype="int64").values

@@ -91,6 +91,41 @@ def test_salted_grid_matches(spark, rng):
     _check(spark, ids, x, y, ids, x, y, k=5, grid=grid)
 
 
+def test_clustered_zipf_differential(spark):
+    """The synthetic-campaign families (tools/run_synthetic.py) at small
+    n against the brute-force oracle — clustered-quantized (duplicate-
+    heavy: salting MUST arm, as the campaign asserts at 8M) and zipf
+    (heavy-tailed y), at k=10 and the reference's k=30
+    (run_syntheticdata3.cmd:1)."""
+    from spark_aknn.grid import count_and_quantile_sketch
+    from spark_aknn.point_tables import clustered_points, zipf_points
+    from spark_aknn.stripes import auto_num_stripes
+
+    # quantize=1 at n=800 plays the role 3 decimals play at the 8M
+    # campaign: per-distinct-y counts must exceed the stripe target for
+    # boundaries to fuse, and the zipf cluster skew concentrates mass
+    # so a fused stripe clears the salt threshold (fusion + a hot
+    # stripe is what arms salting)
+    for family, maker in (
+        (
+            "clustered",
+            lambda: clustered_points(spark, 800, num_clusters=8, quantize=1, skew="zipf"),
+        ),
+        ("zipf", lambda: zipf_points(spark, 800)),
+    ):
+        pts = maker()
+        pdf = pts.toPandas().sort_values("id")
+        ids = pdf.id.to_numpy()
+        x, y = pdf.x.to_numpy(), pdf.y.to_numpy()
+        for k in (10, 30):
+            n_t, sketch = count_and_quantile_sketch(pts, "y")
+            stripes = auto_num_stripes(n_t, k, 8)
+            grid = build_grid(pts, stripes, salt_factor=1.5, sketch=sketch)
+            if family == "clustered":
+                assert grid.x_splits, "quantized clusters must fuse + salt"
+            _check(spark, ids, x, y, ids, x, y, k=k, grid=grid)
+
+
 def test_training_smaller_than_k(spark, rng):
     """|T| < k: underfull results, no sentinel rows in canonical output
     (the reference pads with NULL sentinels in its text sink,

@@ -282,12 +282,58 @@ def test_images_and_media(spark):
     assert psnr(arr, noisy) > 40
 
 
-def test_lossy_decode_is_stubbed(spark):
-    from spark_aknn.media import _HAS_PIL, decode_image
+def test_jpeg_lite_lossy_roundtrip():
+    """Real lossy codec round trip (replaces the r3 PIL stub test): the
+    pure-numpy DCT-quantization codec must be actually lossy (finite
+    PSNR) yet clear the BASELINE 40 dB invariant on worst-case
+    flat-spectrum noise, deterministically."""
+    from spark_aknn.media import decode_jpeg_lite, encode_jpeg_lite, psnr, synth_pixels
 
-    if not _HAS_PIL:
-        with pytest.raises(NotImplementedError):
-            decode_image(b"\xff\xd8", 4, 4, "jpeg")
+    for seed, (w, h) in [(1, (13, 9)), (2, (32, 32)), (3, (8, 8)), (4, (31, 17))]:
+        a = synth_pixels(seed, w, h)
+        buf = encode_jpeg_lite(a)
+        b = decode_jpeg_lite(buf)
+        assert b.shape == a.shape and b.dtype == np.uint8
+        p = psnr(a, b)
+        assert 40.0 <= p < float("inf"), (seed, p)  # lossy AND above the gate
+        assert encode_jpeg_lite(a) == buf  # deterministic
+        assert decode_jpeg_lite(buf).tobytes() == b.tobytes()
+    # quality knob actually trades fidelity
+    a = synth_pixels(9, 24, 24)
+    lo = psnr(a, decode_jpeg_lite(encode_jpeg_lite(a, quality=30)))
+    hi = psnr(a, decode_jpeg_lite(encode_jpeg_lite(a, quality=96)))
+    assert lo < hi
+
+
+def test_jpeg_lite_images_table_end_to_end(spark):
+    """Spark path: a jpeg_lite corpus decodes on executors with
+    PSNR >= 40 vs the regenerated source pixels, and decode_invariants'
+    phash check holds (stored phash is of the DECODED pixels)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from spark_aknn.media import decode_image, decode_invariants, psnr, synth_pixels
+    from spark_aknn.tables import images_table
+
+    imgs = images_table(spark, 40, fmt="jpeg_lite")
+    inv = decode_invariants(imgs).toPandas()
+    assert len(inv) == 40 and inv.decode_ok.all()
+
+    def check(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for img_id, buf, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                src = synth_pixels(int(img_id[4:]), int(w), int(h))
+                dec = decode_image(buf, int(w), int(h), fmt)
+                rows.append((img_id, psnr(src, dec)))
+            yield pd.DataFrame(rows, columns=["image_id", "psnr_db"])
+
+    got = imgs.mapInPandas(check, "image_id string, psnr_db double").toPandas()
+    assert len(got) == 40
+    assert (got.psnr_db >= 40.0).all() and np.isfinite(got.psnr_db).all()
 
 
 def test_embedding_near_dup(emb):
@@ -455,6 +501,26 @@ def test_derive_banding_threshold_driven():
     assert 1 - (1 - 0.5**4) ** 8 < 0.9
     b, r = derive_banding(32, 0.5)
     assert (b, r) == (16, 2)
+
+
+def test_minhash_verify_strategies_agree(spark):
+    """verify='arrays' (default, measured faster) and verify='exploded'
+    (bounded-row-width escape hatch — BENCH/MINHASH.md) are the same
+    exact operator: identical pairs AND identical float values."""
+    from spark_aknn.pipeline.dedup import minhash_dedup_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = (
+        minhash_dedup_pairs(docs, threshold=0.5, verify="arrays")
+        .toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    b = (
+        minhash_dedup_pairs(docs, threshold=0.5, verify="exploded")
+        .toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert len(a) > 0 and a.equals(b)
+    with pytest.raises(ValueError):
+        minhash_dedup_pairs(docs, verify="nope")
 
 
 def test_minhash_recall_at_threshold(spark):

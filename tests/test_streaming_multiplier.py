@@ -133,6 +133,110 @@ def test_stream_tile_counts_matches_batch(spark, tmp_path):
     assert got_all.equals(batch.sort_index())
 
 
+class _FakeState:
+    """Minimal GroupState double for unit-testing the state transition."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_extent_update_eviction_protocol():
+    """The stream_running_extent state transition: normal updates arm a
+    processing-time timeout; a timed-out key emits its final snapshot
+    flagged evicted=true and removes its state (r3 verdict: state must
+    track the ACTIVE key set, no NoTimeout)."""
+    import pandas as pd
+
+    from spark_aknn.streaming import _extent_update
+
+    # fresh key, one batch
+    st = _FakeState()
+    out = list(_extent_update((7,), [pd.DataFrame({"value": [3.0, 1.0, 5.0]})], st, 60_000))
+    assert len(out) == 1 and not out[0].evicted[0]
+    assert (out[0].n[0], out[0].min_value[0], out[0].max_value[0]) == (3, 1.0, 5.0)
+    assert st.get == (3, 1.0, 5.0) and st.timeout_set == 60_000
+
+    # accumulate across a second batch
+    out = list(_extent_update((7,), [pd.DataFrame({"value": [0.5]})], st, 60_000))
+    assert (out[0].n[0], out[0].min_value[0]) == (4, 0.5)
+
+    # idle timeout fires: final snapshot evicted, state removed
+    st.hasTimedOut = True
+    out = list(_extent_update((7,), [], st, 60_000))
+    assert len(out) == 1 and out[0].evicted[0]
+    assert out[0].n[0] == 4 and st.removed and not st.exists
+
+    # source asserts the exemplar really dropped NoTimeout
+    import inspect
+
+    import spark_aknn.streaming as sm
+
+    # (the docstring may DISCUSS NoTimeout; the code must not use it)
+    assert "GroupStateTimeout.NoTimeout" not in inspect.getsource(sm)
+    assert "GroupStateTimeout.ProcessingTimeTimeout" in inspect.getsource(sm)
+
+
+def test_stream_running_extent_matches_batch(spark, tmp_path):
+    """Integration: availableNow pass over the events table — emitted
+    running aggregates for each tile must equal the batch min/max/count
+    (no evictions fire within a single fast microbatch pass)."""
+    from spark_aknn.streaming import stream_running_extent, with_event_points
+    from spark_aknn.raster import tile_id_col
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src_dir = str(tmp_path / "ev_src")
+    events.write.parquet(src_dir)
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    q = (
+        stream_running_extent(stream, tiles_per_side=8)
+        .writeStream.format("memory")
+        .queryName("running_extent")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql(
+            "select tile_id, max(n) as n, min(min_value) as mn, max(max_value) as mx "
+            "from running_extent where not evicted group by tile_id"
+        )
+        .toPandas()
+        .set_index("tile_id")
+        .sort_index()
+    )
+    batch = (
+        with_event_points(events)
+        .withColumn("tile_id", tile_id_col(F.col("x"), F.col("y"), 8))
+        .groupBy("tile_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .toPandas()
+        .set_index("tile_id")
+        .sort_index()
+    )
+    assert got.n.equals(batch.n) and got.mn.equals(batch.mn) and got.mx.equals(batch.mx)
+
+
 def test_event_points_deterministic(spark):
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     a = with_event_points(events).select("event_id", "x", "y").toPandas()
