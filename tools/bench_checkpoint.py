@@ -72,37 +72,49 @@ def run_job(mode: str, n: int, workdir: str, cpus: int = 32) -> dict:
 
 
 def result_sha(workdir: str) -> str:
-    """Order-independent content hash of the committed result parquet."""
+    """Order-independent content checksum of the committed result
+    parquet — computed entirely inside DuckDB (count + sum-of-row-
+    hashes aggregate); 200M rows never reach Python."""
     import duckdb
 
-    rows = duckdb.sql(
-        f"SELECT input_id, rank, neighbor_id, dist_sq FROM '{workdir}/result/*.parquet' "
-        "ORDER BY input_id, rank"
-    ).fetchall()
-    h = hashlib.sha256()
-    for r in rows:
-        h.update(repr(r).encode())
-    return h.hexdigest()
+    row = duckdb.sql(
+        "SELECT count(*), "
+        "sum(hash(input_id, rank, neighbor_id, dist_sq))::VARCHAR "
+        f"FROM '{workdir}/result/*.parquet'"
+    ).fetchone()
+    return hashlib.sha256(repr(row).encode()).hexdigest()
 
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     workroot = sys.argv[3] if len(sys.argv) > 3 else "/tmp/ckpt_bench"
-    shutil.rmtree(workroot, ignore_errors=True)
-    os.makedirs(workroot)
+    # probe-only: reuse an existing workroot's run{rounds-1} for the
+    # kill-and-resume probe and take the timing rows from argv[5]
+    # ("d0:c0,d1:c1,..." seconds) — for resuming a campaign whose
+    # timing rounds completed but whose probe was interrupted
+    probe_only = len(sys.argv) > 4 and sys.argv[4] == "probe-only"
 
     direct_t, ckpt_t, ratios = [], [], []
-    for r in range(rounds):
-        d = run_job("direct", n, "")
-        wd = os.path.join(workroot, f"run{r}")
-        c = run_job("ckpt", n, wd)
-        direct_t.append(d["sec"])
-        ckpt_t.append(c["sec"])
-        ratios.append(c["sec"] / d["sec"])
-        assert d["rows"] == c["rows"], (d, c)
-        print(f"round {r}: direct {d['sec']:.1f}s ckpt {c['sec']:.1f}s "
-              f"overhead x{ratios[-1]:.2f}", flush=True)
+    if probe_only:
+        for pair in sys.argv[5].split(","):
+            d, c = map(float, pair.split(":"))
+            direct_t.append(d)
+            ckpt_t.append(c)
+            ratios.append(c / d)
+    else:
+        shutil.rmtree(workroot, ignore_errors=True)
+        os.makedirs(workroot)
+        for r in range(rounds):
+            d = run_job("direct", n, "")
+            wd = os.path.join(workroot, f"run{r}")
+            c = run_job("ckpt", n, wd)
+            direct_t.append(d["sec"])
+            ckpt_t.append(c["sec"])
+            ratios.append(c["sec"] / d["sec"])
+            assert d["rows"] == c["rows"], (d, c)
+            print(f"round {r}: direct {d['sec']:.1f}s ckpt {c['sec']:.1f}s "
+                  f"overhead x{ratios[-1]:.2f}", flush=True)
 
     # ---- kill-and-resume probe on the last checkpointed run
     wd = os.path.join(workroot, f"run{rounds - 1}")
@@ -138,7 +150,7 @@ def main() -> None:
         "| round | direct (s) | checkpointed (s) | ckpt/direct |",
         "|---|---|---|---|",
     ]
-    for r in range(rounds):
+    for r in range(len(direct_t)):
         lines.append(f"| {r} | {direct_t[r]:.1f} | {ckpt_t[r]:.1f} | {ratios[r]:.2f} |")
     lines += [
         "",
