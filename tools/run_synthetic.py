@@ -4,12 +4,13 @@ The run_syntheticdata*.cmd twin: non-uniform point families at n>=8M,
 k=10 and the reference's k=30 variant (run_syntheticdata3.cmd:1), with
 the drift-robust alternation protocol of tools/run_scaling.py:
 
-  * clustered (quantized coords -> duplicate-heavy -> the salted grid
-    MUST fire: x_splits non-empty is asserted in-job)
+  * clustered (2-decimal-quantized coords + zipf cluster skew ->
+    duplicate-heavy with hot values -> the salted grid MUST fire:
+    x_splits non-empty is asserted in-job)
   * zipf (heavy-tailed y)
 
-For each family at k=10 the 1:4 pair is measured as a tight 1,4
-alternation x3 (median of adjacent ratios, ALU + mem-BW calibration
+For each family at k=10 the 2:8 pair is measured as a tight 2,8
+alternation (median of adjacent ratios, ALU + mem-BW calibration
 burns before every Spark run); the k=30 variants run as single-level
 local[32] throughput rows (grid/k sensitivity evidence, not a second
 scaling campaign).
@@ -50,7 +51,7 @@ spark = get_spark("synthetic")
 w = spark.range(2000).select((F.col("id")+1).alias("id"), lcg_x(F.col("id")).alias("x"), lcg_y(F.col("id")).alias("y"))
 all_knn_join(w, w, k=5, num_stripes=max(2, cpus)).count()   # warm codegen/workers
 if family == "clustered":
-    pts = clustered_points(spark, n, num_clusters=64, quantize=3, skew="zipf").persist()
+    pts = clustered_points(spark, n, num_clusters=64, quantize=2, skew="zipf").persist()
 else:
     pts = zipf_points(spark, n).persist()
 pts.count()
@@ -93,7 +94,7 @@ def main() -> None:
         prev = None
         meta = None
         for i in range(alternations):
-            for lvl in (1, 4):
+            for lvl in (2, 8):
                 bwv = mem_bw(lvl)
                 hwv = raw_cpu(lvl)
                 r = run_level(lvl, n, family, 10)
@@ -101,7 +102,7 @@ def main() -> None:
                 print(f"{family} alt{i} local[{lvl}]: {r['sec']:.1f}s (all "
                       f"{[round(t, 1) for t in r['all']]}) salted={r['salted_stripes']} "
                       f"bw {bwv/1e9:.1f}GB/s hw {hwv/1e6:.0f}M/s", flush=True)
-                if prev is not None and prev[0] == 1 and lvl == 4:
+                if prev is not None and prev[0] == 2 and lvl == 8:
                     ratios.append(prev[1] / r["sec"])
                     bw_ratios.append(bwv / prev[2])
                 prev = (lvl, r["sec"], bwv)
@@ -118,26 +119,31 @@ def main() -> None:
                 "salted": meta["salted_stripes"],
             }
         )
+        write_md(n, alternations, scaling_rows, [])
 
     k30_rows = []
+    write_md(n, alternations, scaling_rows, k30_rows)
     for family in ("clustered", "zipf"):
         r = run_level(32, n, family, 30)
         k30_rows.append(r)
         print(f"{family} k=30 local[32]: {r['sec']:.1f}s stripes={r['stripes']} "
               f"salted={r['salted_stripes']}", flush=True)
+        write_md(n, alternations, scaling_rows, k30_rows)
 
+
+def write_md(n, alternations, scaling_rows, k30_rows):
     lines = [
         "# BENCH/SYNTHETIC — clustered/Zipf campaign (run_syntheticdata twin)",
         "",
-        f"all-kNN self-join at n={n:,}; clustered = 64 quantized (3-decimal)",
+        f"all-kNN self-join at n={n:,}; clustered = 64 zipf-skewed quantized (2-decimal)",
         "Gaussian blobs — duplicate-heavy, so quantile boundaries fuse and",
         "the salted grid fires (asserted in-job: x_splits non-empty);",
         "zipf = heavy-tailed y (alpha=1.5). Prebuilt grid (index reuse),",
-        "best-of-2 reps per fresh process, tight 1,4 alternation x"
+        "best-of-2 reps per fresh process, tight 2,8 alternation x"
         f"{alternations}, median of adjacent ratios (drift protocol of",
         "tools/run_scaling.py).",
         "",
-        "## k=10 scaling (local[1] -> local[4])",
+        "## k=10 scaling (local[2] -> local[8])",
         "",
         "| family | speedup | efficiency | mem-BW ceiling eff | adjacent ratios | stripes | salted stripes |",
         "|---|---|---|---|---|---|---|",
