@@ -88,8 +88,9 @@ def run_level(cpus: int, n: int, family: str, k: int) -> dict:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     alternations = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    families = sys.argv[3].split(",") if len(sys.argv) > 3 else ["clustered", "zipf"]
     scaling_rows = []
-    for family in ("clustered", "zipf"):
+    for family in families:
         ratios, bw_ratios = [], []
         prev = None
         meta = None
@@ -123,7 +124,7 @@ def main() -> None:
 
     k30_rows = []
     write_md(n, alternations, scaling_rows, k30_rows)
-    for family in ("clustered", "zipf"):
+    for family in families:
         r = run_level(32, n, family, 30)
         k30_rows.append(r)
         print(f"{family} k=30 local[32]: {r['sec']:.1f}s stripes={r['stripes']} "
