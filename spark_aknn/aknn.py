@@ -76,10 +76,41 @@ def _np(tbl: pa.Table, col: str) -> np.ndarray:
     return tbl.column(col).to_numpy(zero_copy_only=False)
 
 
-def _sorted_training(tbl: pa.Table):
+def _sorted_training(tbl: pa.Table, k: int | None = None):
+    """x-sorted training arrays; with ``k``, exact-duplicate coordinates
+    are pre-capped to their k smallest ids.
+
+    Exactness: all points at one exact (x, y) are equidistant from EVERY
+    query, so under the canonical (dist_sq, neighbor_id)-ascending tie
+    rule at most the k smallest ids at that coordinate can ever appear
+    in any top-k (stage 2's cap filter is distance-only, so it cannot
+    re-admit a trimmed point either). Cell assignment is a pure function
+    of (x, y), so duplicates share cells and stage 1/stage 2 trim
+    identically — merge_topk's bit-equal dedup is preserved. This bounds
+    the tie scan on duplicate-heavy data (the reference's duplicate
+    fixture semantics, AllKnnResult.h:200-207) to k per coordinate:
+    without it, quantized clustered data with ~800 duplicates per
+    coordinate ran ~25x below uniform throughput (BENCH/SYNTHETIC.md).
+    """
     tx = _np(tbl, "x")
     order = tx.argsort(kind="stable")
-    return tx[order], _np(tbl, "y")[order], _np(tbl, "id")[order]
+    xs = tx[order]
+    ys = _np(tbl, "y")[order]
+    ids = _np(tbl, "id")[order]
+    if k is None or len(xs) <= k or not (xs[1:] == xs[:-1]).any():
+        return xs, ys, ids  # no duplicate x at all => no duplicate (x,y)
+    order = np.lexsort((_np(tbl, "id"), _np(tbl, "y"), tx))
+    xs, ys, ids = tx[order], _np(tbl, "y")[order], _np(tbl, "id")[order]
+    new = np.empty(len(xs), dtype=bool)
+    new[0] = True
+    new[1:] = (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])
+    starts = np.nonzero(new)[0]
+    run = np.cumsum(new) - 1
+    within = np.arange(len(xs), dtype=np.int64) - starts[run]
+    keep = within < k
+    if keep.all():
+        return xs, ys, ids
+    return xs[keep], ys[keep], ids[keep]
 
 
 def _list_array(flat: np.ndarray, counts: np.ndarray, typ) -> pa.ListArray:
@@ -95,7 +126,7 @@ def _stage1_kernel_factory(k: int):
         if qtbl.num_rows == 0:
             return _STAGE1_PA.empty_table()
         qx, qy, qid = _np(qtbl, "x"), _np(qtbl, "y"), _np(qtbl, "id")
-        tx, ty, tid = _sorted_training(ttbl)
+        tx, ty, tid = _sorted_training(ttbl, k)
         ids, dists, counts, scanned = window_topk(qx, qy, tx, ty, tid, k)
         kth = np.where(counts >= k, dists[:, k - 1], np.inf)
         # validity is positional (first n_found entries, (dist,id)-sorted);
@@ -128,7 +159,7 @@ def _stage2_kernel_factory(k: int):
         qx, qy = _np(qtbl, "x"), _np(qtbl, "y")
         qid = _np(qtbl, "input_id")
         cap = _np(qtbl, "kth_dist_sq")
-        tx, ty, tid = _sorted_training(ttbl)
+        tx, ty, tid = _sorted_training(ttbl, k)
         ids, dists, counts, _ = window_topk(qx, qy, tx, ty, tid, k, cap=cap)
         mask = np.arange(ids.shape[1])[None, :] < counts[:, None]
         return pa.Table.from_arrays(

@@ -109,6 +109,10 @@ def encode_jpeg_lite(arr: np.ndarray, quality: int = 96) -> bytes:
     quality 96 measured worst-case PSNR is ~44 dB (smooth content is
     ~60+ dB). Lower qualities trade PSNR for size as usual."""
     h, w = arr.shape[:2]
+    if w > 65535 or h > 65535:  # uint16 header fields
+        raise ValueError(
+            f"jpeg_lite supports dimensions up to 65535, got {w}x{h}"
+        )
     q = _quant_table(quality)
     hh, ww = -(-h // 8) * 8, -(-w // 8) * 8
     padded = np.pad(

@@ -270,6 +270,22 @@ def lsh_candidate_pairs(
     )
 
 
+# Bounded persist registry (mirrors aknn.release_cached / ann._CACHED):
+# each minhash_dedup_pairs call releases the previous call's persisted
+# intermediates, so a long-running driver issuing many dedup calls holds
+# at most one call's caches instead of accumulating until eviction
+# thrash. release_cached() empties it explicitly.
+_CACHED: list[DataFrame] = []
+
+
+def release_cached() -> None:
+    """Unpersist intermediates cached by a previous minhash_dedup_pairs.
+    Safe once that call's result is materialized; an unmaterialized
+    result simply recomputes."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -319,10 +335,12 @@ def minhash_dedup_pairs(
         bands, rows_per_band = derive_banding(num_perm, threshold, target_recall)
     if bands * rows_per_band > num_perm:
         raise ValueError("bands * rows_per_band must be <= num_perm")
+    release_cached()
     sigs = (
         minhash_signatures(df, text_col, n, num_perm, id_col=id_col, hash_family=hash_family)
         .persist()  # reused by banding and the verify joins
     )
+    _CACHED.append(sigs)
     cand = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     est = F.size(
         F.filter(F.arrays_zip("sig_a", "sig_b"), lambda z: z["sig_a"] == z["sig_b"])
@@ -339,6 +357,7 @@ def minhash_dedup_pairs(
         jac = F.col("n_inter") / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter"))
     else:
         cand = cand.persist()  # feeds the intersection join AND the assembly
+        _CACHED.append(cand)
         shr = sigs.select(F.col(id_col), F.explode("shingle_hashes").alias("h"))
         inter = (
             cand.join(shr.withColumnsRenamed({id_col: "a"}), "a")

@@ -50,18 +50,18 @@ def clustered_points(
     so the campaign can verify x_splits actually fire at scale.
 
     ``skew='zipf'`` draws the cluster index Zipf(1)-ish instead of
-    uniformly — c = floor(N^u) gives P(c) ∝ log(1+1/c) ≈ 1/c, so the
-    hottest cluster holds ~log(2)/log(N) of the corpus (~17% at N=64)
-    and its stripes exceed any salt threshold."""
+    uniformly — c = floor((N+1)^u) - 1 with u ~ U[0,1) populates ALL
+    indices 0..N-1 with P(c=j) = log_{N+1}((j+2)/(j+1)) ∝ log(1+1/(j+1))
+    ≈ 1/(j+1), so the hottest cluster holds log(2)/log(N+1) of the
+    corpus (~17% at N=64) and its stripes exceed any salt threshold.
+    (r4 ADVICE: the earlier floor(N^u) form never produced index 0 and
+    silently ran with N-1 effective clusters.)"""
     b = _base(spark, n, num_partitions)
     if skew == "zipf":
         u = F.pmod(F.xxhash64(F.col("key"), F.lit(0)), F.lit(1 << 20)) / F.lit(
             float(1 << 20)
         )
-        c = F.least(
-            F.floor(F.pow(F.lit(float(num_clusters)), u)).cast("long"),
-            F.lit(num_clusters - 1),
-        )
+        c = F.floor(F.pow(F.lit(float(num_clusters + 1)), u)).cast("long") - F.lit(1)
     elif skew == "uniform":
         c = F.pmod(F.xxhash64(F.col("key"), F.lit(0)), F.lit(num_clusters))
     else:

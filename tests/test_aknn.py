@@ -155,6 +155,33 @@ def test_duplicate_coordinates(spark, rng):
     _check(spark, ids, x, y, ids, x, y, k=15, num_stripes=5)
 
 
+def test_duplicate_run_precap(spark, rng):
+    """Runs of duplicates LONGER than k: the kernel's pre-cap
+    (_sorted_training) trims each exact coordinate to its k smallest
+    ids — provably exact under the (dist, id) tie rule — and the join
+    still matches brute force on the FULL set."""
+    from spark_aknn.aknn import _sorted_training
+    import pyarrow as pa
+
+    # kernel-level: 3 coordinates x 40 dupes, shuffled ids
+    xs = np.repeat([0.2, 0.2, 0.7], 40)
+    ys = np.repeat([0.3, 0.9, 0.5], 40)
+    ids = rng.permutation(120).astype(np.int64) + 1
+    tbl = pa.table({"x": xs, "y": ys, "id": ids})
+    cx, cy, cid = _sorted_training(tbl, k=5)
+    assert len(cx) == 15  # 3 coords x 5 kept
+    for x0, y0 in {(0.2, 0.3), (0.2, 0.9), (0.7, 0.5)}:
+        kept = np.sort(cid[(cx == x0) & (cy == y0)])
+        full = np.sort(ids[(xs == x0) & (ys == y0)])[:5]
+        assert (kept == full).all()
+    # end-to-end: duplicate runs of 40 >> k=5, must still be exact
+    n = 200
+    x = np.repeat(_uniform(rng, 5), 40)
+    y = np.repeat(_uniform(rng, 5), 40)
+    pids = np.arange(1, n + 1)
+    _check(spark, pids, x, y, pids, x, y, k=5, num_stripes=4)
+
+
 def test_negative_int64_ids(spark, rng):
     """Regression: ids are arbitrary int64 (e.g. xxhash64 of image ids),
     roughly half negative — padding must not be confused with real ids."""
