@@ -401,12 +401,22 @@ def all_knn_join(
         # one scan: count + quantile sketch together
         from spark_aknn.grid import count_and_quantile_sketch
 
-        n_t, sketch = count_and_quantile_sketch(split_side, "y")
+        n_t, sketch, x_extent = count_and_quantile_sketch(split_side, "y")
+        n_split = n_t
         if num_stripes <= 0:
             if split_on == "input":  # auto formula is defined on |T|
                 n_t = training_points.count()
             num_stripes = auto_num_stripes(n_t, k, spark.sparkContext.defaultParallelism)
-        grid = build_grid(split_side, num_stripes, salt_factor=salt_factor, sketch=sketch)
+        grid = build_grid(
+            split_side,
+            num_stripes,
+            salt_factor=salt_factor,
+            sketch=sketch,
+            k=k,
+            x_extent=x_extent,
+            margin_factor=margin_factor,
+            n_total=n_split,
+        )
     cells = cells_df(spark, grid, margin_factor=margin_factor)
     cols = ["stripe_id", "sub_id", "id", "x", "y"]
     inp = assign_cells(input_points.select("id", "x", "y"), grid).select(*cols)

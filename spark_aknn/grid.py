@@ -17,6 +17,7 @@ frontier's rectangle-distance pruning.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,31 +63,89 @@ class Grid:
 QUANTILE_GRID = 4096
 
 
-def count_and_quantile_sketch(df: DataFrame, col: str = "y") -> tuple[int, list[float]]:
+def count_and_quantile_sketch(
+    df: DataFrame, col: str = "y", x_col: str = "x"
+) -> tuple[int, list[float], tuple[float, float] | None]:
     """ONE scan returning (row count, QUANTILE_GRID-point quantile
-    sketch). Boundaries for any stripe count are then derived driver-side
-    by resampling the sketch — the reference re-sorts per run
-    (AllKnnResultStripes.h:52-84); we pay a single aggregate instead."""
+    sketch, x extent). Boundaries for any stripe count are then derived
+    driver-side by resampling the sketch — the reference re-sorts per run
+    (AllKnnResultStripes.h:52-84); we pay a single aggregate instead.
+    The x min/max ride the same aggregate (no extra scan); the
+    anisotropy-aware stripe merge needs the cross-dimension extent to
+    estimate 2-D density from the 1-D y-sketch."""
     probs = [i / QUANTILE_GRID for i in range(1, QUANTILE_GRID)]
-    row = df.agg(
+    aggs = [
         F.count(F.lit(1)).alias("n"),
         F.percentile_approx(col, probs, 10000).alias("qs"),
-    ).collect()[0]
-    return int(row["n"]), list(row["qs"] or [])
+    ]
+    has_x = x_col is not None and x_col in df.columns
+    if has_x:
+        aggs += [F.min(x_col).alias("xlo"), F.max(x_col).alias("xhi")]
+    row = df.agg(*aggs).collect()[0]
+    extent = (
+        (float(row["xlo"]), float(row["xhi"]))
+        if has_x and row["xlo"] is not None
+        else None
+    )
+    return int(row["n"]), list(row["qs"] or []), extent
 
 
-def splits_from_sketch(sketch: list[float], num_stripes: int) -> list[float]:
+def splits_from_sketch(
+    sketch: list[float],
+    num_stripes: int,
+    n: int | None = None,
+    k: int | None = None,
+    x_extent: tuple[float, float] | None = None,
+    margin_factor: float = 0.9,
+    safety: float = 1.3,
+) -> list[float]:
     """Equal-count boundaries resampled from the sketch; duplicate
     boundaries fuse (the duplicate-y rule analogue,
-    AllKnnResultStripes.h:205-208)."""
+    AllKnnResultStripes.h:205-208).
+
+    With (n, k, x_extent) given, boundaries additionally satisfy the
+    ANISOTROPY condition: each stripe's height h and count c obey
+
+        margin_factor*h >= safety * E[kth radius] ~ sqrt(k*h*Wx/(pi*c))
+        <=>  h*c >= safety^2 * k * Wx / (margin_factor^2 * pi)
+
+    i.e. the stripe is tall enough that a typical query's kth circle
+    fits inside its own margin. For isotropic uniform data the plain
+    equal-count split at the reference's sqrt(n/k) count satisfies this
+    with slack (h*c = k vs a bound of ~0.66k), so uniform grids are
+    unchanged; for y-crushed distributions (heavy-tailed y, all-x mass
+    in a thin band) the equal-count stripes in the dense band are far
+    thinner than the 2-D kth radius — measured at n=10^6 zipf(1.5):
+    78.9% of queries escaped and the frontier exploded to 38.9M rows
+    (~49 target stripes per escaping query), turning stage 2 into an
+    hour-long sort spill at 8M. Greedy forward merge of the equal-mass
+    sketch gaps restores margin containment; the boundary exchange
+    stays exact either way — this is purely a cost bound."""
     if num_stripes <= 1 or not sketch:
         return [NEG_INF, POS_INF]
-    inner: list[float] = []
     m = len(sketch) + 1
-    for i in range(1, num_stripes):
-        q = sketch[min(len(sketch) - 1, max(0, int(round(i * m / num_stripes)) - 1))]
-        if not inner or q > inner[-1]:
-            inner.append(q)
+    wx = (x_extent[1] - x_extent[0]) if x_extent else 0.0
+    if not n or not k or wx <= 0:
+        inner: list[float] = []
+        for i in range(1, num_stripes):
+            q = sketch[min(len(sketch) - 1, max(0, int(round(i * m / num_stripes)) - 1))]
+            if not inner or q > inner[-1]:
+                inner.append(q)
+        return [NEG_INF, *inner, POS_INF]
+    beta = (safety**2) * k * wx / ((margin_factor**2 if margin_factor > 0 else 1.0) * math.pi)
+    target = n / num_stripes
+    mass_q = n / m  # mass of each sketch gap (and of each open tail)
+    inner = []
+    y_start: float | None = None  # None => (-inf, b) edge stripe: height is unbounded
+    acc = 0.0
+    for i, b in enumerate(sketch):
+        acc += mass_q  # mass of the gap ending at sketch[i] (tail mass for i=0)
+        if inner and b <= inner[-1]:
+            continue  # duplicate fusion
+        if acc >= target and (y_start is None or (b - y_start) * acc >= beta):
+            inner.append(b)
+            y_start = b
+            acc = 0.0
     return [NEG_INF, *inner, POS_INF]
 
 
@@ -97,23 +156,54 @@ def build_grid(
     max_subs: int = 32,
     relative_error: float = 0.001,
     sketch: list[float] | None = None,
+    k: int | None = None,
+    x_extent: tuple[float, float] | None = None,
+    margin_factor: float = 0.9,
+    n_total: int | None = None,
 ) -> Grid:
     """Quantile y-splits; oversized stripes (> salt_factor * mean count)
     get x-quantile substripes sized to bring them back to ~mean.
 
     Scan economy: boundaries come from a quantile sketch (one scan, or
     zero if the caller passes one). The per-stripe salt-count scan runs
-    ONLY when boundary fusion signals duplicate-heavy data — with all
-    distinct quantiles, equal-count splits are balanced by construction.
-    """
+    ONLY when boundary fusion or the anisotropy merge signals skewed
+    data — with all distinct quantiles and no merging, equal-count
+    splits are balanced by construction.
+
+    (k, x_extent, n_total): enables the anisotropy merge in
+    splits_from_sketch — stripes tall enough that typical kth circles
+    fit their own margin (see splits_from_sketch; exactness never
+    depends on it). Callers with a count_and_quantile_sketch result
+    should pass all three."""
     if num_stripes >= QUANTILE_GRID // 2:
         # sketch too coarse for this stripe count — exact quantile pass
         y_splits = compute_splits(training, num_stripes, col="y", relative_error=relative_error)
         sketch = None
+        if k is not None and x_extent is not None and n_total:
+            # apply the anisotropy merge to the exact equal-count
+            # boundaries: every gap holds ~n/num_stripes mass, so the
+            # inner boundary list IS an equal-mass sketch
+            y_splits = splits_from_sketch(
+                y_splits[1:-1],
+                num_stripes,
+                n=n_total,
+                k=k,
+                x_extent=x_extent,
+                margin_factor=margin_factor,
+            )
     else:
         if sketch is None:
-            _, sketch = count_and_quantile_sketch(training, "y")
-        y_splits = splits_from_sketch(sketch, num_stripes)
+            n_total, sketch, xe = count_and_quantile_sketch(training, "y")
+            if x_extent is None:
+                x_extent = xe
+        y_splits = splits_from_sketch(
+            sketch,
+            num_stripes,
+            n=n_total,
+            k=k,
+            x_extent=x_extent,
+            margin_factor=margin_factor,
+        )
     grid = Grid(y_splits=y_splits)
     actual = len(y_splits) - 1
     fused = actual < min(num_stripes, QUANTILE_GRID)

@@ -120,10 +120,19 @@ def checkpointed_aknn(
     if grid is None:
         from spark_aknn.grid import count_and_quantile_sketch
 
-        n_t, sketch = count_and_quantile_sketch(training_points, "y")
+        n_t, sketch, x_extent = count_and_quantile_sketch(training_points, "y")
         if num_stripes <= 0:
             num_stripes = auto_num_stripes(n_t, k, spark.sparkContext.defaultParallelism)
-        grid = build_grid(training_points, num_stripes, salt_factor=salt_factor, sketch=sketch)
+        grid = build_grid(
+            training_points,
+            num_stripes,
+            salt_factor=salt_factor,
+            sketch=sketch,
+            k=k,
+            x_extent=x_extent,
+            margin_factor=margin_factor,
+            n_total=n_t,
+        )
         save_grid(workdir, grid, params=params)
 
     cols = ["stripe_id", "sub_id", "id", "x", "y"]

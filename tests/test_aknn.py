@@ -118,12 +118,61 @@ def test_clustered_zipf_differential(spark):
         ids = pdf.id.to_numpy()
         x, y = pdf.x.to_numpy(), pdf.y.to_numpy()
         for k in (10, 30):
-            n_t, sketch = count_and_quantile_sketch(pts, "y")
+            n_t, sketch, xe = count_and_quantile_sketch(pts, "y")
             stripes = auto_num_stripes(n_t, k, 8)
             grid = build_grid(pts, stripes, salt_factor=1.5, sketch=sketch)
             if family == "clustered":
                 assert grid.x_splits, "quantized clusters must fuse + salt"
             _check(spark, ids, x, y, ids, x, y, k=k, grid=grid)
+            # anisotropy-merged grid (what all_knn_join builds by
+            # default): exactness must hold for it too
+            merged = build_grid(
+                pts, stripes, salt_factor=1.5, sketch=sketch,
+                k=k, x_extent=xe, n_total=n_t,
+            )
+            if merged.y_splits != grid.y_splits:
+                _check(spark, ids, x, y, ids, x, y, k=k, grid=merged)
+
+
+def test_zipf_anisotropy_merge_bounds_escapes(spark):
+    """Heavy-tailed y (the zipf campaign family): without the anisotropy
+    merge, equal-count stripes in the dense band are far thinner than
+    the 2-D kth radius, so the 0.9x-height margin cannot contain the kth
+    circle — measured at n=10^6: 78.9% of queries escaped and the
+    frontier exploded to 38.9M rows (~49 target stripes per escaping
+    query), turning the 8M campaign's stage 2 into an hour-long sort
+    spill. The merged grid (splits_from_sketch with k/x_extent) must
+    keep the escape fraction ~zero; exactness is grid-independent and
+    covered by test_clustered_zipf_differential."""
+    from spark_aknn.aknn import stage1_local_topk, with_escape_flag
+    from spark_aknn.grid import (
+        assign_cells,
+        assign_cells_margin,
+        cells_df,
+        count_and_quantile_sketch,
+    )
+    from spark_aknn.point_tables import zipf_points
+    from spark_aknn.stripes import auto_num_stripes
+
+    n = 50_000
+    pts = zipf_points(spark, n).persist()
+    nt, sk, xe = count_and_quantile_sketch(pts)
+    s0 = auto_num_stripes(nt, 10, 8)
+    plain = build_grid(pts, s0, sketch=sk)
+    merged = build_grid(pts, s0, sketch=sk, k=10, x_extent=xe, n_total=nt)
+    assert merged.num_stripes < plain.num_stripes  # the merge fired
+
+    def escape_frac(grid):
+        cells = cells_df(spark, grid, margin_factor=0.9)
+        cols = ["stripe_id", "sub_id", "id", "x", "y"]
+        inp = assign_cells(pts.select("id", "x", "y"), grid).select(*cols)
+        trn = assign_cells_margin(pts.select("id", "x", "y"), grid, 0.9).select(*cols)
+        s1 = stage1_local_topk(inp, trn, 10)
+        return with_escape_flag(s1, cells).filter("escapes").count() / n
+
+    assert escape_frac(merged) < 0.05
+    assert escape_frac(plain) > 0.3  # the failure mode the merge exists for
+    pts.unpersist()
 
 
 def test_training_smaller_than_k(spark, rng):

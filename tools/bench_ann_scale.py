@@ -10,7 +10,11 @@ The corpus is generated DISTRIBUTED (mapInArrow over spark.range — no
 driver-side materialization): 64 Gaussian clusters with a Zipf-ish size
 skew, so the auto policy's hot-bucket sub-splitting actually engages.
 
-Usage: python tools/bench_ann_scale.py [n] [rounds]
+Usage: python tools/bench_ann_scale.py [n] [rounds] [mode]
+mode 'sandwich' (default) = auto/fixed16/auto rounds; 'auto-only' =
+layout stats + `rounds` timed auto runs, no fixed16 leg — the large-n
+variant (r4 verdict task 6: confirm the max-bucket-rows bound holds at
+8M without paying for the known fixed16 straggler again).
 Writes a markdown table to stdout (paste into BENCH/ANN_SCALE.md).
 """
 
@@ -113,9 +117,12 @@ def bucket_stats(spark, corpus, num_centroids, target_bucket_rows):
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    mode = sys.argv[3] if len(sys.argv) > 3 else "sandwich"
     spark = get_spark("ann_scale_bench")
     corpus = make_corpus(spark, n).persist()
     corpus.count()  # materialize before timing
+
+    from pyspark.sql import functions as F  # noqa: F401
 
     from spark_aknn.pipeline.ann import (
         _TARGET_BUCKET_ROWS,
@@ -126,10 +133,10 @@ def main() -> None:
 
     auto_c = auto_num_centroids(n)
     print(f"n={n} dim={DIM} auto_num_centroids={auto_c} target={_TARGET_BUCKET_ROWS}")
-    for label, c, tgt in (
-        ("auto", None, _TARGET_BUCKET_ROWS),
-        ("fixed16", 16, 10**12),  # huge target = no sub-splitting (old behavior)
-    ):
+    layouts = [("auto", None, _TARGET_BUCKET_ROWS)]
+    if mode == "sandwich":
+        layouts.append(("fixed16", 16, 10**12))  # huge target = no sub-split (old behavior)
+    for label, c, tgt in layouts:
         s = bucket_stats(spark, corpus, c if c else auto_c, tgt)
         print(f"  layout[{label}]: {s}")
 
@@ -144,6 +151,15 @@ def main() -> None:
         release_cached()
         print(f"  {label}: {dt:.1f}s rows={cnt}", flush=True)
         return dt
+
+    if mode == "auto-only":
+        times = [timed(f"auto run {r}", {"corpus_count": n}) for r in range(rounds)]
+        print("\n| n | runs (s) | best pts/s |")
+        print("|---|---|---|")
+        best = min(times)
+        print(f"| {n} | {', '.join(f'{t:.1f}' for t in times)} | {n / best:.0f} |")
+        spark.stop()
+        return
 
     fixed_kwargs = {"num_centroids": 16, "target_bucket_rows": 10**12}
     ratios = []

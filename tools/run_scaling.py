@@ -49,8 +49,8 @@ w = spark.range(2000).select((F.col("id")+1).alias("id"), lcg_x(F.col("id")).ali
 all_knn_join(w, w, k=5, num_stripes=max(2, cpus)).count()   # warm codegen/workers
 pts = spark.range(n).select((F.col("id")+1).alias("id"), lcg_x(F.col("id")).alias("x"), lcg_y(F.col("id")).alias("y")).persist()
 pts.count()
-nt, sk = count_and_quantile_sketch(pts)
-grid = build_grid(pts, auto_num_stripes(nt, 10, cpus), sketch=sk)
+nt, sk, xe = count_and_quantile_sketch(pts)
+grid = build_grid(pts, auto_num_stripes(nt, 10, cpus), sketch=sk, k=10, x_extent=xe, n_total=nt)
 knn_times, tile_times = [], []
 for rep in range(2):
     t0 = time.time(); all_knn_join(pts, pts, k=10, grid=grid).count(); knn_times.append(time.time() - t0)

@@ -45,7 +45,7 @@ def main() -> None:
         (F.col("id") + 1).alias("id"), lcg_x(F.col("id")).alias("x"), lcg_y(F.col("id")).alias("y")
     ).persist()
     pts.count()
-    _, sketch = count_and_quantile_sketch(pts)
+    _, sketch, _xe = count_and_quantile_sketch(pts)
 
     auto = auto_num_stripes(n, k, cpus)
     ref = max(1, round(math.sqrt(n / k)))  # reference formula, AllKnnResultStripes.h:141-151

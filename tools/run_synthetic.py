@@ -55,8 +55,8 @@ if family == "clustered":
 else:
     pts = zipf_points(spark, n).persist()
 pts.count()
-nt, sk = count_and_quantile_sketch(pts)
-grid = build_grid(pts, auto_num_stripes(nt, k, cpus), sketch=sk)
+nt, sk, xe = count_and_quantile_sketch(pts)
+grid = build_grid(pts, auto_num_stripes(nt, k, cpus), sketch=sk, k=k, x_extent=xe, n_total=nt)
 if family == "clustered":
     assert grid.x_splits, "quantized clustered data must fuse boundaries and salt"
 times = []
