@@ -234,6 +234,30 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(emb, min_cosine=0.35)
 
 
+def _part_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_aknn.pipeline.images import keyed_images
+
+    return keyed_images(spark.read.parquet(f"{sf_dir}/part.parquet"), "p_partkey")
+
+
+def q_image_decode_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graft's per-row image invariant at the oracle surface: the
+    distributed jpeg_lite encode->decode->phash/PSNR path (input_hint
+    schema) vs single-node kernel constants (pipeline/images.py)."""
+    return _part_images(spark, sf_dir).select(
+        "image_id", "caption", "w", "h", "fmt", "phash", "psnr"
+    )
+
+
+def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs: exact multi-index Hamming search over
+    the phash of DECODED pixels, vs a brute-force bit_count oracle."""
+    from spark_aknn.pipeline.images import phash_near_dup_pairs
+
+    n = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    return phash_near_dup_pairs(_part_images(spark, sf_dir), max_hamming=4, n_hint=n)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "aknn_customer_self": q_aknn_customer_self,
@@ -264,6 +288,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "ann_ivf_topk": q_ann_ivf_topk,
         "cosine_near_dup": q_cosine_near_dup,
+        # r5: the image payload (input_hint schema) enters the oracle
+        # gate — distributed codec+phash vs single-node constants, and
+        # the multi-index Hamming search vs brute force
+        "image_decode_psnr": q_image_decode_psnr,
+        "image_phash_near_dup": q_image_phash_near_dup,
     }
 
 
@@ -384,7 +413,20 @@ WHERE a.vec_id < b.vec_id AND {d_emb} <= 1.2
         "language_id_documents": _text_oracle("language_id"),
         "fingerprint_documents": _text_oracle("fingerprint"),
         "token_bpe_documents": _text_oracle("token_bpe"),
+        "image_decode_psnr": _image_oracle("psnr"),
+        "image_phash_near_dup": _image_oracle("pairs"),
     }
+
+
+def _image_oracle(which: str) -> str:
+    from spark_aknn.pipeline.images import (
+        decode_psnr_duckdb_sql,
+        phash_pairs_duckdb_sql,
+    )
+
+    if which == "psnr":
+        return decode_psnr_duckdb_sql("p_partkey", "part")
+    return phash_pairs_duckdb_sql("p_partkey", "part", max_hamming=4)
 
 
 def _simhash_oracle() -> str:

@@ -748,3 +748,63 @@ def test_ivf_deterministic_matches_duckdb(spark):
     assert len(got) == len(exp)
     for c in ["query_id", "rank", "neighbor_id", "dist_sq"]:
         assert np.array_equal(got[c].to_numpy(), exp[c].to_numpy()), c
+
+
+# ----------------------------------------------------------------- image tier
+
+
+def test_blocky_phash_variant_arithmetic():
+    """Variant v flips cells [0, v): hamming between decoded-pixel
+    phashes of same-seed variants is exactly |set difference|, and it
+    survives the lossy codec (the bimodal design margin)."""
+    from spark_aknn.pipeline.images import SIDE, QUALITY, _render
+
+    for seed in (0, 7, 41):
+        ph = {v: _render(seed, v, SIDE, QUALITY)[1] for v in range(3)}
+        ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+        assert (ham(ph[0], ph[1]), ham(ph[0], ph[2]), ham(ph[1], ph[2])) == (1, 2, 1)
+
+
+def test_blocky_psnr_invariant():
+    """Per-row invariant of BASELINE.json input_hint: lossy decode stays
+    >= 40 dB PSNR vs the source, across all (seed, variant) renders."""
+    from spark_aknn.pipeline.images import (
+        DEFAULT_NSEEDS, DEFAULT_NVARIANTS, SIDE, QUALITY, _constants,
+    )
+
+    cs = _constants(DEFAULT_NSEEDS, DEFAULT_NVARIANTS, SIDE, QUALITY)
+    assert len(cs) == DEFAULT_NSEEDS * DEFAULT_NVARIANTS
+    assert min(c[3] for c in cs) >= 40.0
+
+
+def test_keyed_images_distributed_matches_kernel(spark):
+    """The mapInPandas render equals the single-node kernel per key, and
+    phash_near_dup_pairs equals numpy brute force at hamming <= 4."""
+    from spark_aknn.pipeline.images import (
+        SIDE, QUALITY, _render, keyed_images, phash_near_dup_pairs,
+    )
+
+    keys = spark.range(0, 120, 1, 8).select(F.col("id").alias("k"))
+    imgs = keyed_images(keys, "k", nseeds=11, nvariants=3).cache()
+    pdf = imgs.toPandas().sort_values("key").reset_index(drop=True)
+    assert list(pdf.columns) == [
+        "key", "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "psnr"
+    ]
+    for _, r in pdf.iloc[::17].iterrows():
+        buf, ph, db = _render(int(r.key) % 11, int(r.key) % 3, SIDE, QUALITY)
+        assert r.bytes == buf and r.phash == ph and r.psnr == db
+        assert r.image_id == f"img_{int(r.key):012d}"
+
+    got = (
+        phash_near_dup_pairs(imgs, max_hamming=4, n_hint=120)
+        .toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    ph = pdf.phash.to_numpy(np.uint64)
+    exp = [
+        (int(pdf.key[i]), int(pdf.key[j]), int(bin(int(ph[i] ^ ph[j])).count("1")))
+        for i in range(len(ph)) for j in range(i + 1, len(ph))
+        if bin(int(ph[i] ^ ph[j])).count("1") <= 4
+    ]
+    exp = sorted((min(a, b), max(a, b), h) for a, b, h in exp)
+    assert [tuple(r) for r in got.to_numpy()] == exp
+    imgs.unpersist()
