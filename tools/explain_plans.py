@@ -112,6 +112,21 @@ def main():
     checks.append(("ann: Arrow cogroups only, no cartesian corpus join",
                    "FlatMapCoGroupsInArrow" in p7 and "CartesianProduct" not in p7))
 
+    # 8. image tier: the phash Hamming search plans like simhash — the
+    # only Python node is the one Arrow render pass; candidates come
+    # from an equi-join on (chunk, variant-value), never a cross join
+    from spark_aknn.pipeline.images import keyed_images, phash_near_dup_pairs
+    imgs = keyed_images(spark.read.parquet(f"{SF}/part.parquet"), "p_partkey")
+    pp = phash_near_dup_pairs(imgs, max_hamming=4, n_hint=2000)
+    p8 = plan_of(pp)
+    sections.append(("image phash_near_dup_pairs", p8))
+    checks.append(("image near-dup: the Arrow render (MapInPandas) is the only Python node",
+                   "MapInPandas" in p8 and "BatchEvalPython" not in p8))
+    checks.append(("image near-dup: Hamming candidates via equi-join, no cross join",
+                   "CartesianProduct" not in p8 and "BroadcastNestedLoopJoin" not in p8))
+    checks.append(("image near-dup: part scan prunes to the key column",
+                   "p_partkey" in p8 and "p_retailprice" not in p8))
+
     lines = ["# PLANS — physical-plan verification of the scale claims", ""]
     lines.append("Generated by tools/explain_plans.py; re-run after plan-affecting changes.")
     lines.append("")
