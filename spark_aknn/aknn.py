@@ -398,15 +398,18 @@ def all_knn_join(
     spark = input_points.sparkSession
     split_side = training_points if split_on == "training" else input_points
     if grid is None:
-        # one scan: count + quantile sketch together
-        from spark_aknn.grid import count_and_quantile_sketch
+        # two cheap jobs: count+extent first, then a quantile sketch
+        # sized to the stripe count (a fixed 4096-point sketch was the
+        # single most expensive driver job of the whole operator)
+        from spark_aknn.grid import count_and_extent, quantile_sketch, sketch_resolution
 
-        n_t, sketch, x_extent = count_and_quantile_sketch(split_side, "y")
+        n_t, x_extent = count_and_extent(split_side)
         n_split = n_t
         if num_stripes <= 0:
             if split_on == "input":  # auto formula is defined on |T|
                 n_t = training_points.count()
             num_stripes = auto_num_stripes(n_t, k, spark.sparkContext.defaultParallelism)
+        sketch = quantile_sketch(split_side, "y", sketch_resolution(num_stripes))
         grid = build_grid(
             split_side,
             num_stripes,
@@ -435,14 +438,53 @@ def all_knn_join(
     flagged = with_escape_flag(stage1, cells)
     if grid.num_stripes == 1 and not grid.x_splits:
         return merge_topk(flagged, _empty_stage2(spark), k)
+    if persist:
+        # Materialize the cache ONCE before the downstream query fans
+        # out: its independent result/broadcast branches otherwise race
+        # on the cold cache and re-run the whole stage-1 kernel up to 3x
+        # concurrently (measured 2.5x wall under host contention). The
+        # same job returns the escape count, which drives the stage-2
+        # plan below — all O(1) driver data.
+        n_esc = flagged.agg(F.sum(F.col("escapes").cast("long"))).collect()[0][0] or 0
+        if n_esc == 0:
+            # every query certified locally — stage-1 ranks are final
+            return merge_topk(flagged, _empty_stage2(spark), k)
     frontier = build_frontier(flagged, cells, grid)
     # stage 2 sweeps home-assigned training, restricted to the cells the
-    # frontier actually targets (left-semi broadcast): without it every
-    # cell's training pays the second cogroup shuffle + Arrow transfer
-    # even when no frontier query lands there
-    touched = frontier.select("stripe_id", "sub_id").distinct()
-    trn_s2 = trn_home.join(F.broadcast(touched), ["stripe_id", "sub_id"], "left_semi")
-    stage2 = stage2_exchange(frontier, trn_s2, k)
+    # frontier actually targets: without it every cell's training pays
+    # the second cogroup shuffle + Arrow transfer even when no frontier
+    # query lands there
+    if persist:
+        # cheap on the warm cache: per-cell frontier counts -> prune
+        # training with a literal IN-set (no broadcast-exchange job) and
+        # size the stage-2 cogroup to the frontier instead of the
+        # session default (its shuffle partitions would otherwise be
+        # ~all empty for the typical sub-1% escaping tail)
+        stats = frontier.groupBy("stripe_id", "sub_id").count().collect()
+        if not stats:
+            return merge_topk(flagged, _empty_stage2(spark), k)
+        n_frontier = sum(r["count"] for r in stats)
+        np2 = max(1, min(
+            2 * spark.sparkContext.defaultParallelism,
+            len(stats),
+            -(-n_frontier // 4096),
+        ))
+        if len(stats) <= 65536:
+            ckey = F.col("stripe_id").cast("long") * F.lit(1 << 32) + F.col("sub_id")
+            keys = [r["stripe_id"] * (1 << 32) + r["sub_id"] for r in stats]
+            trn_s2 = trn_home.filter(ckey.isin(keys))
+        else:  # IN-set too large for an expression — broadcast semi-join
+            touched = frontier.select("stripe_id", "sub_id").distinct()
+            trn_s2 = trn_home.join(F.broadcast(touched), ["stripe_id", "sub_id"], "left_semi")
+        stage2 = stage2_exchange(
+            frontier.repartition(np2, "stripe_id", "sub_id"),
+            trn_s2.repartition(np2, "stripe_id", "sub_id"),
+            k,
+        )
+    else:
+        touched = frontier.select("stripe_id", "sub_id").distinct()
+        trn_s2 = trn_home.join(F.broadcast(touched), ["stripe_id", "sub_id"], "left_semi")
+        stage2 = stage2_exchange(frontier, trn_s2, k)
     return merge_topk(flagged, stage2, k, dedup=margin_factor > 0)
 
 

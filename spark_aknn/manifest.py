@@ -118,11 +118,12 @@ def checkpointed_aknn(
     }
     grid = load_grid(workdir, params=params)
     if grid is None:
-        from spark_aknn.grid import count_and_quantile_sketch
+        from spark_aknn.grid import count_and_extent, quantile_sketch, sketch_resolution
 
-        n_t, sketch, x_extent = count_and_quantile_sketch(training_points, "y")
+        n_t, x_extent = count_and_extent(training_points)
         if num_stripes <= 0:
             num_stripes = auto_num_stripes(n_t, k, spark.sparkContext.defaultParallelism)
+        sketch = quantile_sketch(training_points, "y", sketch_resolution(num_stripes))
         grid = build_grid(
             training_points,
             num_stripes,

@@ -67,6 +67,10 @@ _SALT_TOLERANCE = 2.0
 # a bucket lands well above target (same L2/DRAM discipline as the 2-D
 # sweep kernel's _ELEM_BUDGET)
 _GEMM_ELEM_BUDGET = 1 << 23
+# materialize persisted intermediates with one action before the
+# downstream query fans out: concurrent result/broadcast branches racing
+# on a cold cache re-run the producing kernel redundantly
+_EAGER_CACHE = True
 
 
 def auto_num_centroids(
@@ -595,9 +599,34 @@ def all_pairs_l2_topk(
             _fresh_members(members, id_col, vec_col, bucket_col="gbucket").groupBy("gbucket")
         )
         .applyInArrow(_stage1_kernel(k, id_col, vec_col), _STAGE1_SCHEMA)
-        .persist()
     )
+    if plan.num_global == 1:
+        # one global bucket: stage 1 IS the exact all-pairs result and
+        # no probe can target another bucket (the ball test requires
+        # g != home) — posexplode the already-(dist, id)-sorted lists
+        # into final ranks; skips the stage-2 cogroup, the union and the
+        # rank window outright
+        return (
+            stage1.select(
+                "query_id",
+                F.posexplode(F.arrays_zip(F.col("neighbor_ids"), F.col("dist_sqs"))).alias(
+                    "pos", "z"
+                ),
+            )
+            .select(
+                "query_id",
+                (F.col("pos") + 1).alias("rank"),
+                F.col("z.neighbor_ids").alias("neighbor_id"),
+                F.col("z.dist_sqs").alias("dist_sq"),
+            )
+        )
+    stage1 = stage1.persist()
     _CACHED.append(stage1)
+    if _EAGER_CACHE:
+        # materialize the cache before the downstream query fans out —
+        # its probe and merge branches otherwise race on the cold cache
+        # and run the stage-1 kernel redundantly
+        stage1.count()
     probes = _probe_explode(stage1, bc_cr, "kth_dist_sq")
     stage2 = (
         probes.withColumnRenamed("bucket", "gbucket")

@@ -270,6 +270,10 @@ def lsh_candidate_pairs(
     )
 
 
+# materialize persisted intermediates with one action before the
+# downstream query fans out (see ann._EAGER_CACHE)
+_EAGER_CACHE = True
+
 # Bounded persist registry (mirrors aknn.release_cached / ann._CACHED):
 # each minhash_dedup_pairs call releases the previous call's persisted
 # intermediates, so a long-running driver issuing many dedup calls holds
@@ -341,6 +345,12 @@ def minhash_dedup_pairs(
         .persist()  # reused by banding and the verify joins
     )
     _CACHED.append(sigs)
+    if _EAGER_CACHE:
+        # materialize the cache once up front: the banding self-join and
+        # the verify joins otherwise launch their map stages concurrently
+        # on the cold cache and re-run the shingle+signature kernel up
+        # to 4x
+        sigs.count()
     cand = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     est = F.size(
         F.filter(F.arrays_zip("sig_a", "sig_b"), lambda z: z["sig_a"] == z["sig_b"])
