@@ -97,13 +97,28 @@ def _sorted_training(tbl: pa.Table, k: int | None = None):
     xs = tx[order]
     ys = _np(tbl, "y")[order]
     ids = _np(tbl, "id")[order]
-    if k is None or len(xs) <= k or not (xs[1:] == xs[:-1]).any():
+    if k is None or len(xs) <= k:
+        return xs, ys, ids
+    dup = xs[1:] == xs[:-1]
+    if not dup.any():
         return xs, ys, ids  # no duplicate x at all => no duplicate (x,y)
-    order = np.lexsort((_np(tbl, "id"), _np(tbl, "y"), tx))
-    xs, ys, ids = tx[order], _np(tbl, "y")[order], _np(tbl, "id")[order]
+    # re-sort ONLY the duplicate-x runs by (x, y, id): runs are
+    # contiguous in the x-sort, so writing the reordered subset back in
+    # place preserves global x order. The r5 version re-lexsorted the
+    # WHOLE cell whenever any duplicate existed — on clustered/quantized
+    # corpora (every cell has a few duplicate x) that double full sort
+    # was the prime suspect for the 2.4x images-vs-uniform breach.
+    in_run = np.zeros(len(xs), dtype=bool)
+    in_run[1:] = dup
+    in_run[:-1] |= dup
+    sel = np.nonzero(in_run)[0]
+    sub = np.lexsort((ids[sel], ys[sel], xs[sel]))
+    xs[sel], ys[sel], ids[sel] = xs[sel][sub], ys[sel][sub], ids[sel][sub]
     new = np.empty(len(xs), dtype=bool)
     new[0] = True
     new[1:] = (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])
+    if new.all():
+        return xs, ys, ids  # duplicate x but never duplicate (x, y)
     starts = np.nonzero(new)[0]
     run = np.cumsum(new) - 1
     within = np.arange(len(xs), dtype=np.int64) - starts[run]
@@ -438,30 +453,26 @@ def all_knn_join(
     flagged = with_escape_flag(stage1, cells)
     if grid.num_stripes == 1 and not grid.x_splits:
         return merge_topk(flagged, _empty_stage2(spark), k)
-    if persist:
-        # Materialize the cache ONCE before the downstream query fans
-        # out: its independent result/broadcast branches otherwise race
-        # on the cold cache and re-run the whole stage-1 kernel up to 3x
-        # concurrently (measured 2.5x wall under host contention). The
-        # same job returns the escape count, which drives the stage-2
-        # plan below — all O(1) driver data.
-        n_esc = flagged.agg(F.sum(F.col("escapes").cast("long"))).collect()[0][0] or 0
-        if n_esc == 0:
-            # every query certified locally — stage-1 ranks are final
-            return merge_topk(flagged, _empty_stage2(spark), k)
     frontier = build_frontier(flagged, cells, grid)
     # stage 2 sweeps home-assigned training, restricted to the cells the
     # frontier actually targets: without it every cell's training pays
     # the second cogroup shuffle + Arrow transfer even when no frontier
     # query lands there
     if persist:
-        # cheap on the warm cache: per-cell frontier counts -> prune
+        # ONE eager job: computing the per-cell frontier counts also
+        # materializes the stage-1 cache before the downstream query
+        # fans out — its independent result/broadcast branches otherwise
+        # race on the cold cache and re-run the whole stage-1 kernel up
+        # to 3x concurrently (measured 2.5x wall under host contention).
+        # The counts themselves are O(#cells) driver data that prune
         # training with a literal IN-set (no broadcast-exchange job) and
         # size the stage-2 cogroup to the frontier instead of the
-        # session default (its shuffle partitions would otherwise be
-        # ~all empty for the typical sub-1% escaping tail)
+        # session default (whose partitions would otherwise be ~all
+        # empty for the typical sub-1% escaping tail).
         stats = frontier.groupBy("stripe_id", "sub_id").count().collect()
         if not stats:
+            # no query's kth circle reaches another cell — stage-1 ranks
+            # are final
             return merge_topk(flagged, _empty_stage2(spark), k)
         n_frontier = sum(r["count"] for r in stats)
         np2 = max(1, min(

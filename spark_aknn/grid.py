@@ -117,6 +117,21 @@ def count_and_quantile_sketch(
     return n, sketch, extent
 
 
+def _stripe_gap_masses(sketch: list[float], y_splits: list[float]) -> list[float]:
+    """Relative per-stripe masses: sketch gaps falling in each stripe
+    [b_i, b_{i+1}). Each gap carries equal mass, so these are row counts
+    up to a constant factor — driver-side, no scan. The trailing open
+    gap (past the last sketch point) is credited to the last stripe."""
+    from bisect import bisect_left
+
+    inner = y_splits[1:-1]
+    edges = [0, *[bisect_left(sketch, b) for b in inner], len(sketch)]
+    masses = [float(edges[i + 1] - edges[i]) for i in range(len(edges) - 1)]
+    if masses:
+        masses[-1] += 1.0
+    return masses
+
+
 def splits_from_sketch(
     sketch: list[float],
     num_stripes: int,
@@ -212,13 +227,12 @@ def build_grid(
         # sketch missing or too coarse for this stripe count — exact
         # quantile pass
         y_splits = compute_splits(training, num_stripes, col="y", relative_error=relative_error)
-        sketch = None
+        sketch = y_splits[1:-1]  # equal-count boundaries ARE an equal-mass sketch
         if k is not None and x_extent is not None and n_total:
-            # apply the anisotropy merge to the exact equal-count
-            # boundaries: every gap holds ~n/num_stripes mass, so the
-            # inner boundary list IS an equal-mass sketch
+            # apply the anisotropy merge to the exact boundaries: every
+            # gap holds ~n/num_stripes mass
             y_splits = splits_from_sketch(
-                y_splits[1:-1],
+                sketch,
                 num_stripes,
                 n=n_total,
                 k=k,
@@ -239,8 +253,13 @@ def build_grid(
     fused = actual < min(num_stripes, QUANTILE_GRID)
     if actual <= 1 or salt_factor <= 0 or not fused:
         return grid
-    striped = assign_stripes(training, y_splits, col="y", out="stripe_id")
-    counts = {r["stripe_id"]: r["cnt"] for r in striped.groupBy("stripe_id").count().withColumnRenamed("count", "cnt").collect()}
+    # per-stripe masses estimated DRIVER-SIDE from the equal-mass sketch
+    # (each sketch gap carries ~n/m rows, so gaps-per-stripe are relative
+    # masses) — replaces a whole groupBy-count scan per grid build; the
+    # salt decision only ever steered balance, never correctness, and
+    # equal-count stripes are only unequal where fusion/merge collapsed
+    # sketch gaps, which is exactly what gap counting sees
+    counts = dict(enumerate(_stripe_gap_masses(sketch, y_splits)))
     total = sum(counts.values())
     if total == 0:
         return grid
@@ -248,6 +267,7 @@ def build_grid(
     hot = {s: c for s, c in counts.items() if c > salt_factor * mean}
     if not hot:
         return grid
+    striped = assign_stripes(training, y_splits, col="y", out="stripe_id")
     probs_per_stripe = {s: min(max_subs, max(2, int(round(c / mean)))) for s, c in hot.items()}
     hot_df = striped.filter(F.col("stripe_id").isin(list(hot.keys())))
     # one aggregation pass: per-stripe x-quantiles via percentile_approx
