@@ -319,7 +319,11 @@ def _explode_ranked(flagged: DataFrame) -> DataFrame:
 
 
 def merge_topk(
-    flagged_stage1: DataFrame, stage2: DataFrame, k: int, dedup: bool = False
+    flagged_stage1: DataFrame,
+    stage2: DataFrame,
+    k: int,
+    dedup: bool = False,
+    escaping: DataFrame | None = None,
 ) -> DataFrame:
     """Final merge, split by the escape flag:
 
@@ -340,9 +344,11 @@ def merge_topk(
     """
     cols = ["input_id", "rank", "neighbor_id", "dist_sq"]
     done = _explode_ranked(flagged_stage1.filter(~F.col("escapes"))).select(*cols)
-    needy = _explode_ranked(flagged_stage1.filter(F.col("escapes"))).select(
-        "input_id", "neighbor_id", "dist_sq"
-    )
+    # ``escaping``: a pre-filtered (typically separately cached, tiny)
+    # escaping subset — saves the needy leg a full scan of the big
+    # stage-1 cache
+    needy_src = escaping if escaping is not None else flagged_stage1.filter(F.col("escapes"))
+    needy = _explode_ranked(needy_src).select("input_id", "neighbor_id", "dist_sq")
     allc = needy.unionByName(stage2)
     if dedup:
         allc = allc.distinct()
@@ -453,18 +459,24 @@ def all_knn_join(
     flagged = with_escape_flag(stage1, cells)
     if grid.num_stripes == 1 and not grid.x_splits:
         return merge_topk(flagged, _empty_stage2(spark), k)
-    frontier = build_frontier(flagged, cells, grid)
     # stage 2 sweeps home-assigned training, restricted to the cells the
     # frontier actually targets: without it every cell's training pays
     # the second cogroup shuffle + Arrow transfer even when no frontier
     # query lands there
     if persist:
+        # the escaping subset is typically <1% of queries under margin
+        # replication — cache it separately so the needy/frontier legs
+        # scan a tiny table instead of re-scanning the whole stage-1
+        # cache
+        esc = flagged.filter(F.col("escapes")).persist()
+        _CACHED_STAGE1.append(esc)
+        frontier = build_frontier(esc, cells, grid)
         # ONE eager job: computing the per-cell frontier counts also
-        # materializes the stage-1 cache before the downstream query
-        # fans out — its independent result/broadcast branches otherwise
-        # race on the cold cache and re-run the whole stage-1 kernel up
-        # to 3x concurrently (measured 2.5x wall under host contention).
-        # The counts themselves are O(#cells) driver data that prune
+        # materializes both caches before the downstream query fans out
+        # — its independent result/broadcast branches otherwise race on
+        # the cold cache and re-run the whole stage-1 kernel up to 3x
+        # concurrently (measured 2.5x wall under host contention). The
+        # counts themselves are O(#cells) driver data that prune
         # training with a literal IN-set (no broadcast-exchange job) and
         # size the stage-2 cogroup to the frontier instead of the
         # session default (whose partitions would otherwise be ~all
@@ -473,7 +485,7 @@ def all_knn_join(
         if not stats:
             # no query's kth circle reaches another cell — stage-1 ranks
             # are final
-            return merge_topk(flagged, _empty_stage2(spark), k)
+            return merge_topk(flagged, _empty_stage2(spark), k, escaping=esc)
         n_frontier = sum(r["count"] for r in stats)
         np2 = max(1, min(
             2 * spark.sparkContext.defaultParallelism,
@@ -492,12 +504,17 @@ def all_knn_join(
             trn_s2.repartition(np2, "stripe_id", "sub_id"),
             k,
         )
-    else:
-        touched = frontier.select("stripe_id", "sub_id").distinct()
-        trn_s2 = trn_home.join(F.broadcast(touched), ["stripe_id", "sub_id"], "left_semi")
-        stage2 = stage2_exchange(frontier, trn_s2, k)
+        return merge_topk(flagged, stage2, k, dedup=margin_factor > 0, escaping=esc)
+    frontier = build_frontier(flagged, cells, grid)
+    touched = frontier.select("stripe_id", "sub_id").distinct()
+    trn_s2 = trn_home.join(F.broadcast(touched), ["stripe_id", "sub_id"], "left_semi")
+    stage2 = stage2_exchange(frontier, trn_s2, k)
     return merge_topk(flagged, stage2, k, dedup=margin_factor > 0)
 
 
 def _empty_stage2(spark) -> DataFrame:
-    return spark.createDataFrame([], _STAGE2_SCHEMA)
+    # empty LocalRelation (not an empty RDD): PropagateEmptyRelation can
+    # then erase the whole stage-2 union leg from the optimized plan
+    from spark_aknn.localrel import local_df
+
+    return local_df(spark, [], _STAGE2_SCHEMA)

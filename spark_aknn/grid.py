@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_aknn.localrel import local_df
 from spark_aknn.stripes import assign_stripes, compute_splits
 
 NEG_INF = float("-inf")
@@ -347,7 +348,8 @@ def cells_df(spark: SparkSession, grid: Grid, margin_factor: float = 0.0) -> Dat
                 xlo - dx if xlo != NEG_INF else NEG_INF,
                 xhi + dx if xhi != POS_INF else POS_INF,
             ))
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         "stripe_id int, sub_id int, ylo double, yhi double, xlo double, xhi double, "
         "m_ylo double, m_yhi double, m_xlo double, m_xhi double",
@@ -363,7 +365,8 @@ def assign_cells(df: DataFrame, grid: Grid) -> DataFrame:
     if not grid.x_splits:
         return out.withColumn("sub_id", F.lit(0))
     spark = df.sparkSession
-    bounds = spark.createDataFrame(
+    bounds = local_df(
+        spark,
         [(s, v) for s, v in grid.x_splits.items()],
         "stripe_id int, xbounds array<double>",
     )
@@ -417,7 +420,8 @@ def assign_cells_margin(df: DataFrame, grid: Grid, margin_factor: float) -> Data
     below, above, radius = stripe_margins(grid, margin_factor)
     # per HOME stripe: replicate up iff y >= up_t (the importer's
     # below-zone), down iff y < dn_t (the importer's above-zone)
-    marg = spark.createDataFrame(
+    marg = local_df(
+        spark,
         [
             (
                 s,
@@ -445,7 +449,8 @@ def assign_cells_margin(df: DataFrame, grid: Grid, margin_factor: float) -> Data
         return out.withColumn("sub_id", F.lit(0))
     # x-sub span within the TARGET stripe: the margin is a radius, so the
     # x half-width is the same per-stripe length scale
-    bounds = spark.createDataFrame(
+    bounds = local_df(
+        spark,
         [(s, v, radius[s]) for s, v in grid.x_splits.items()],
         "stripe_id int, xbounds array<double>, dx double",
     )

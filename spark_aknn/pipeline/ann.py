@@ -478,8 +478,11 @@ class _BucketPlan:
 def _with_gbucket(assigned: DataFrame, plan: _BucketPlan, id_col: str) -> DataFrame:
     """gbucket column from the plan — a broadcast join against the tiny
     (parent -> offset, n_sub) table plus codegen hash math; no Python."""
+    from spark_aknn.localrel import local_df
+
     spark = assigned.sparkSession
-    mapping = spark.createDataFrame(
+    mapping = local_df(
+        spark,
         [(int(j), int(plan.offsets[j]), int(plan.n_sub[j])) for j in range(len(plan.n_sub))],
         "bucket int, __off long, __ns long",
     )

