@@ -417,7 +417,9 @@ def all_knn_join(
     if split_on not in ("training", "input"):
         raise ValueError(f"split_on must be 'training' or 'input', got {split_on!r}")
     spark = input_points.sparkSession
+    par = spark.sparkContext.defaultParallelism
     split_side = training_points if split_on == "training" else input_points
+    n_trn_known: int | None = None
     if grid is None:
         # two cheap jobs: count+extent first, then a quantile sketch
         # sized to the stripe count (a fixed 4096-point sketch was the
@@ -430,6 +432,7 @@ def all_knn_join(
             if split_on == "input":  # auto formula is defined on |T|
                 n_t = training_points.count()
             num_stripes = auto_num_stripes(n_t, k, spark.sparkContext.defaultParallelism)
+        n_trn_known = n_t
         sketch = quantile_sketch(split_side, "y", sketch_resolution(num_stripes))
         grid = build_grid(
             split_side,
@@ -443,10 +446,20 @@ def all_knn_join(
         )
     cells = cells_df(spark, grid, margin_factor=margin_factor)
     cols = ["stripe_id", "sub_id", "id", "x", "y"]
-    inp = assign_cells(input_points.select("id", "x", "y"), grid).select(*cols)
+
+    def widen(df: DataFrame) -> DataFrame:
+        # parallelism floor for the stage-1 map side only (it runs once,
+        # then stage 1 is cached): a source narrower than the cluster —
+        # e.g. a table read as a handful of parquet splits — would run
+        # the margin replication and the shuffle write at that width.
+        # One cheap round-robin shuffle of the raw points fixes it; wide
+        # inputs pass through untouched, so this is a no-op at scale.
+        return df.repartition(par) if df.rdd.getNumPartitions() < par else df
+
+    inp = assign_cells(widen(input_points.select("id", "x", "y")), grid).select(*cols)
     trn_home = assign_cells(training_points.select("id", "x", "y"), grid).select(*cols)
     trn_s1 = (
-        assign_cells_margin(training_points.select("id", "x", "y"), grid, margin_factor)
+        assign_cells_margin(widen(training_points.select("id", "x", "y")), grid, margin_factor)
         .select(*cols)
         if margin_factor > 0
         else trn_home
@@ -487,11 +500,16 @@ def all_knn_join(
             # are final
             return merge_topk(flagged, _empty_stage2(spark), k, escaping=esc)
         n_frontier = sum(r["count"] for r in stats)
-        np2 = max(1, min(
-            2 * spark.sparkContext.defaultParallelism,
-            len(stats),
-            -(-n_frontier // 4096),
-        ))
+        # stage-2 task sizing must count BOTH cogroup sides: the
+        # frontier queries and the training rows of the touched cells
+        # (estimated as the touched share of |T| — equal-count stripes
+        # make per-cell counts ~uniform). With an explicit caller grid
+        # |T| is unknown; cells bound the useful parallelism either way.
+        np2 = max(1, min(2 * par, len(stats)))
+        if n_trn_known is not None:
+            n_cells = sum(grid.num_subs(s) for s in range(grid.num_stripes))
+            est_trn = n_trn_known * len(stats) / max(1, n_cells)
+            np2 = max(1, min(np2, -(-int(n_frontier + est_trn) // 16384)))
         if len(stats) <= 65536:
             ckey = F.col("stripe_id").cast("long") * F.lit(1 << 32) + F.col("sub_id")
             keys = [r["stripe_id"] * (1 << 32) + r["sub_id"] for r in stats]
