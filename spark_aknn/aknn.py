@@ -387,6 +387,7 @@ def all_knn_join(
     persist: bool = True,
     split_on: str = "training",
     margin_factor: float = 0.9,
+    eager_stats_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """All-kNN join: (id,x,y) x (id,x,y) -> (input_id, rank, neighbor_id, dist_sq).
 
@@ -475,8 +476,24 @@ def all_knn_join(
     # stage 2 sweeps home-assigned training, restricted to the cells the
     # frontier actually targets: without it every cell's training pays
     # the second cogroup shuffle + Arrow transfer even when no frontier
-    # query lands there
-    if persist:
+    # query lands there.
+    #
+    # Two downstream shapes, picked by corpus size (measured crossover —
+    # see OPTIMIZATION_r06.md "scale check"):
+    #  * eager-stats (small/medium corpora): one driver job materializes
+    #    the caches and returns per-cell frontier counts that plan
+    #    stage 2. Wins where fixed scheduling overhead dominates and
+    #    concurrent branches would race the cold cache (sub-second
+    #    tasks overlap almost fully).
+    #  * lazy (large corpora): the classic single-action plan with a
+    #    broadcast-semi-join prune. The eager job's serialization
+    #    barrier costs real seconds once the stage-1 pass is long, and
+    #    the cache race self-resolves at scale (long tasks populate
+    #    partitions before sibling branches reach them).
+    eager = (
+        persist and n_trn_known is not None and n_trn_known <= eager_stats_max_rows
+    )
+    if eager:
         # the escaping subset is typically <1% of queries under margin
         # replication — cache it separately so the needy/frontier legs
         # scan a tiny table instead of re-scanning the whole stage-1

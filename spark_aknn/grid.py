@@ -85,7 +85,7 @@ def count_and_extent(
 
 def quantile_sketch(
     df: DataFrame, col: str = "y", resolution: int = QUANTILE_GRID,
-    relative_error: float = 0.001,
+    relative_error: float | None = None,
 ) -> list[float]:
     """Equal-mass quantile sketch of ``col`` at ``resolution`` gaps via
     DataFrame.approxQuantile (driver-merged Greenwald-Khanna summaries —
@@ -93,8 +93,17 @@ def quantile_sketch(
     literal probs array costs ~1.5ms/point per run). Boundaries for any
     stripe count <= resolution/2 are then derived driver-side by
     resampling — the reference re-sorts per run
-    (AllKnnResultStripes.h:52-84); we pay one aggregate instead."""
+    (AllKnnResultStripes.h:52-84); we pay one aggregate instead.
+
+    relative_error defaults to 1/(4*resolution): the sketch's rank
+    error must stay well under the inter-point gap 1/resolution, or
+    adjacent quantile queries return the same sample value on large
+    corpora and boundaries spuriously FUSE (measured at 6M rows /
+    resolution 1550 with a fixed 1e-3 error: 775 stripes fused to 715
+    visibly-unequal ones)."""
     resolution = max(2, min(int(resolution), QUANTILE_GRID))
+    if relative_error is None:
+        relative_error = 1.0 / (4 * resolution)
     probs = [i / resolution for i in range(1, resolution)]
     return [float(v) for v in df.approxQuantile(col, probs, relative_error)]
 

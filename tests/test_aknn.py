@@ -353,6 +353,22 @@ def test_stage1_cache_released(spark, rng):
     assert jsc.getPersistentRDDs().size() == 0
 
 
+def test_lazy_downstream_matches_eager(spark, rng):
+    """all_knn_join plans stage 2 two ways by corpus size (eager
+    driver-stats below eager_stats_max_rows, the lazy broadcast-semi
+    shape above). Both must produce the identical result set — the
+    large-corpus lazy shape is otherwise only exercised at scale."""
+    n = 500
+    ids = np.arange(1, n + 1)
+    x, y = rng.random(n), rng.random(n)
+    pts = make_points_df(spark, ids, x, y)
+    eager = all_knn_join(pts, pts, k=5, eager_stats_max_rows=10**12)
+    lazy = all_knn_join(make_points_df(spark, ids, x, y), make_points_df(spark, ids, x, y),
+                        k=5, eager_stats_max_rows=0)
+    assert eager.exceptAll(lazy).count() == 0
+    assert lazy.exceptAll(eager).count() == 0
+
+
 def test_frontier_plan_has_no_nested_loop_join(spark, rng):
     """The boundary-exchange frontier must probe only the stripes the
     kth-radius touches (BroadcastHashJoin on stripe_id), never cross-join
