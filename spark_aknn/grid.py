@@ -59,8 +59,15 @@ class Grid:
 # ceiling on sketch resolution for boundary derivation; the resolution
 # actually used is ~2x the stripe count (quantile cost is linear in the
 # number of query points, so a fixed 4096-point sketch was paying
-# seconds per grid build that a 2S-point sketch gets for ~0.1s)
-QUANTILE_GRID = 4096
+# seconds per grid build that a 2S-point sketch gets for ~0.1s).
+# The ceiling covers auto stripe counts up to 8192, i.e. |T| up to
+# ~670M at k=10 — a 4096 cap forced n>=42M grids onto the exact-
+# quantile fallback, whose fixed 1e-3 rank error then fused 56% of the
+# 2530 boundaries at n=64M (measured: 2530 requested -> 1114 actual on
+# a UNIFORM corpus). approxQuantile's cost scales with the relative
+# error (summary size), not the probe count, so the higher ceiling
+# costs nothing below ~2048 stripes.
+QUANTILE_GRID = 16384
 
 
 def count_and_extent(
@@ -235,8 +242,18 @@ def build_grid(
             x_extent = xe
     if sketch is None or 2 * num_stripes > len(sketch) + 1:
         # sketch missing or too coarse for this stripe count — exact
-        # quantile pass
-        y_splits = compute_splits(training, num_stripes, col="y", relative_error=relative_error)
+        # quantile pass. The rank error must stay well under the
+        # inter-boundary gap n/num_stripes or adjacent quantile queries
+        # return the same sample and boundaries spuriously fuse (the
+        # same failure quantile_sketch guards against; measured at
+        # n=64M / 2530 stripes with the fixed 1e-3 error: 1114
+        # visibly-unequal stripes survived)
+        y_splits = compute_splits(
+            training,
+            num_stripes,
+            col="y",
+            relative_error=min(relative_error, 1.0 / (4 * num_stripes)),
+        )
         sketch = y_splits[1:-1]  # equal-count boundaries ARE an equal-mass sketch
         if k is not None and x_extent is not None and n_total:
             # apply the anisotropy merge to the exact boundaries: every

@@ -91,6 +91,25 @@ def test_salted_grid_matches(spark, rng):
     _check(spark, ids, x, y, ids, x, y, k=5, grid=grid)
 
 
+def test_exact_split_error_tracks_stripe_count(spark, rng):
+    """build_grid's exact-quantile fallback (sketch too coarse for the
+    stripe count) must tighten approxQuantile's relative error below
+    1/num_stripes, or adjacent boundary queries return the same sample
+    and boundaries spuriously fuse whenever eps > 1/S — independent of
+    n (measured at n=64M/S=2530 with the old fixed 1e-3: 1114 of 2530
+    stripes survived on a UNIFORM corpus)."""
+    n, stripes = 100_000, 2000
+    ids = np.arange(1, n + 1)
+    x, y = _uniform(rng, n), _uniform(rng, n)
+    pts = make_points_df(spark, ids, x, y)
+    # a deliberately too-coarse sketch forces the exact-quantile path
+    coarse = [i / 100 for i in range(1, 100)]
+    grid = build_grid(pts, stripes, salt_factor=0, sketch=coarse)
+    assert grid.num_stripes >= 0.95 * stripes, (
+        f"boundary fusion on uniform data: {grid.num_stripes}/{stripes}"
+    )
+
+
 def test_clustered_zipf_differential(spark):
     """The synthetic-campaign families (tools/run_synthetic.py) at small
     n against the brute-force oracle — clustered-quantized (duplicate-

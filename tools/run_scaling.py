@@ -102,7 +102,11 @@ def run_level(cpus: int, n: int, attempts: int = 2) -> dict:
     for a in range(attempts):
         out = subprocess.run(
             [sys.executable, "-c", JOB.format(repo=REPO, n=n)],
-            capture_output=True, text=True, env=env, timeout=1800,
+            capture_output=True, text=True, env=env,
+            # scale the per-leg budget with n: 1800s was sized for <=20M;
+            # a 64M local[2] leg needs ~900s clean and this VM's 2-6x
+            # drift can triple that
+            timeout=max(1800, n // 12000),
         )
         for line in out.stdout.splitlines():
             if line.startswith("JSONRESULT "):
